@@ -1,0 +1,192 @@
+"""Shared flax building blocks: weight-normed / spectral-normed convolutions.
+
+Weight norm is a *parameterization* (params stay (v, g); the dense kernel is
+folded at call time in fp32 — cost O(weights), negligible next to the conv
+itself). This reproduces torch.nn.utils.weight_norm(dim=0) semantics, including
+`remove_weight_norm` (see `fold_weight_norm` in convert/fold.py) so converted
+reference checkpoints bit-match. (Reference usage: I_ea/hifi_gan/models.py,
+I_da/src/models.py.)
+
+Parameters are stored in torch layout:
+  Conv1d:          v (O, I/groups, K), g (O,), b (O,)
+  ConvTranspose1d: v (I, O/groups, K), g (I,),  b (O,)
+  Conv2d:          v (O, I/groups, KH, KW), g (O,), b (O,)
+so checkpoint converters are identity maps over names.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.conv import (conv1d, conv2d, conv_transpose1d, weight_norm_kernel)
+
+LRELU_SLOPE = 0.1  # HiFi-GAN leaky-relu slope (reference LRELU_SLOPE)
+
+
+def torch_conv_init(fan_in_kernel: int):
+    """torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), +)."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / np.sqrt(fan_in_kernel)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def normal_init(std: float = 0.01, mean: float = 0.0):
+    """HiFi-GAN init_weights: normal(mean=0, std=0.01)."""
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _g_from_v(v_ref):
+    """Initializer for the weight-norm magnitude: g = ||v|| per dim-0 slice."""
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        v = v_ref()
+        return jnp.sqrt(jnp.sum(jnp.square(v), axis=tuple(range(1, v.ndim)))
+                        ).astype(dtype)
+    return init
+
+
+class WNConv1d(nn.Module):
+    """weight_norm(Conv1d) with torch semantics."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: str = "torch"  # "torch" | "hifigan"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kshape = (self.features, in_ch // self.groups, self.kernel_size)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        vinit = normal_init() if self.kernel_init == "hifigan" else torch_conv_init(fan_in)
+        v = self.param("v", vinit, kshape)
+        g = self.param("g", _g_from_v(lambda: v), (self.features,))
+        w = weight_norm_kernel(v, g).astype(self.dtype)
+        b = (self.param("b", torch_conv_init(fan_in), (self.features,))
+             .astype(self.dtype) if self.use_bias else None)
+        return conv1d(x.astype(self.dtype), w, b, stride=self.stride,
+                      padding=self.padding, dilation=self.dilation,
+                      groups=self.groups)
+
+
+class WNConvTranspose1d(nn.Module):
+    """weight_norm(ConvTranspose1d); v kept in torch (I, O/groups, K) layout.
+
+    torch weight_norm(dim=0) on a transposed conv norms over axes (1,2) with
+    g of shape (C_in,) — reproduced exactly.
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: str = "torch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kshape = (in_ch, self.features // self.groups, self.kernel_size)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        vinit = normal_init() if self.kernel_init == "hifigan" else torch_conv_init(fan_in)
+        v = self.param("v", vinit, kshape)
+        g = self.param("g", _g_from_v(lambda: v), (in_ch,))
+        w = weight_norm_kernel(v, g).astype(self.dtype)
+        b = (self.param("b", torch_conv_init(fan_in), (self.features,))
+             .astype(self.dtype) if self.use_bias else None)
+        return conv_transpose1d(x.astype(self.dtype), w, b, stride=self.stride,
+                                padding=self.padding, groups=self.groups)
+
+
+class WNConv2d(nn.Module):
+    """weight_norm(Conv2d) with torch semantics (MPD discriminator convs)."""
+    features: int
+    kernel_size: Sequence[int]
+    stride: Sequence[int] = (1, 1)
+    padding: Sequence[int] = (0, 0)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kh, kw = self.kernel_size
+        kshape = (self.features, in_ch, kh, kw)
+        fan_in = in_ch * kh * kw
+        v = self.param("v", torch_conv_init(fan_in), kshape)
+        g = self.param("g", _g_from_v(lambda: v), (self.features,))
+        w = weight_norm_kernel(v, g).astype(self.dtype)
+        b = (self.param("b", torch_conv_init(fan_in), (self.features,))
+             .astype(self.dtype) if self.use_bias else None)
+        return conv2d(x.astype(self.dtype), w, b, stride=tuple(self.stride),
+                      padding=tuple(self.padding))
+
+
+class SNConv1d(nn.Module):
+    """spectral_norm(Conv1d): one power-iteration per call, persistent u.
+
+    The power-iteration vector lives in the 'spectral' variable collection;
+    pass mutable=['spectral'] during training to update it (matching torch's
+    train-mode behavior); eval reuses the stored estimate.
+    """
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = True):
+        in_ch = x.shape[1]
+        kshape = (self.features, in_ch // self.groups, self.kernel_size)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        w = self.param("w", torch_conv_init(fan_in), kshape)
+        w_mat = w.reshape(self.features, -1)
+
+        def _norm(z):
+            return z / (jnp.linalg.norm(z) + self.eps)
+
+        u_var = self.variable("spectral", "u",
+                              lambda: jax.random.normal(
+                                  self.make_rng("params") if self.is_initializing()
+                                  else jax.random.PRNGKey(0),
+                                  (self.features,)))
+        v_var = self.variable("spectral", "v",
+                              lambda: _norm(w_mat.T @ _norm(u_var.value)))
+        if update_stats:
+            # torch train mode: v = norm(Wᵀu); u = norm(Wv); σ = u·Wv (updated)
+            v = _norm(w_mat.T @ _norm(u_var.value))
+            u = _norm(w_mat @ v)
+            if not self.is_initializing():
+                u_var.value = jax.lax.stop_gradient(u)
+                v_var.value = jax.lax.stop_gradient(v)
+        else:
+            # torch eval mode: reuse stored u, v without iterating
+            u, v = u_var.value, v_var.value
+        sigma = u @ (w_mat @ v)
+        w_sn = (w / jax.lax.stop_gradient(sigma)).astype(self.dtype)
+        b = (self.param("b", torch_conv_init(fan_in), (self.features,))
+             .astype(self.dtype) if self.use_bias else None)
+        return conv1d(x.astype(self.dtype), w_sn, b, stride=self.stride,
+                      padding=self.padding, dilation=self.dilation,
+                      groups=self.groups)
+
+
+def leaky_relu(x, slope: float = LRELU_SLOPE):
+    return jax.nn.leaky_relu(x, negative_slope=slope)

@@ -1,0 +1,72 @@
+"""Load the READ-ONLY reference PyTorch modules for parity testing.
+
+We never copy reference code into this repo; for golden tests we import the
+reference modules in-place (with their tiny external helpers stubbed) and
+compare our flax models' outputs against theirs on random weights.
+"""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import torch
+
+REF = "/root/reference"
+
+
+def _stub_inpainting_utils():
+    """models.py imports `from Inpainting.hifi_gan.utils import init_weights,
+    get_padding` — provide those two trivial helpers under the expected name."""
+    if "Inpainting.hifi_gan.utils" in sys.modules:
+        return
+    pkg = types.ModuleType("Inpainting")
+    sub = types.ModuleType("Inpainting.hifi_gan")
+    utils = types.ModuleType("Inpainting.hifi_gan.utils")
+
+    def init_weights(m, mean=0.0, std=0.01):
+        if "Conv" in m.__class__.__name__:
+            m.weight.data.normal_(mean, std)
+
+    def get_padding(kernel_size, dilation=1):
+        return int((kernel_size * dilation - dilation) / 2)
+
+    utils.init_weights = init_weights
+    utils.get_padding = get_padding
+    sys.modules["Inpainting"] = pkg
+    sys.modules["Inpainting.hifi_gan"] = sub
+    sys.modules["Inpainting.hifi_gan.utils"] = utils
+
+
+def load_module(path: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ref_hifigan_models():
+    _stub_inpainting_utils()
+    return load_module(f"{REF}/I_ea/hifi_gan/models.py", "ref_hifigan_models")
+
+
+def ref_ida_modules():
+    """I_da uses `from src...` absolute imports; put I_da on sys.path."""
+    if f"{REF}/I_da" not in sys.path:
+        sys.path.insert(0, f"{REF}/I_da")
+    # dist shim no-ops when torch.distributed uninitialized -> fine on CPU.
+    import src.models as ida_models            # noqa: F401
+    import src.modules.jukebox as ida_jukebox  # noqa: F401
+    import src.modules.vq as ida_vq            # noqa: F401
+    return ida_models, ida_jukebox, ida_vq
+
+
+class AttrDict(dict):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.__dict__ = self
+
+
+def seed_all(seed=1234):
+    torch.manual_seed(seed)
+    np.random.seed(seed)
