@@ -54,11 +54,45 @@ def ref_ida_modules():
     """I_da uses `from src...` absolute imports; put I_da on sys.path."""
     if f"{REF}/I_da" not in sys.path:
         sys.path.insert(0, f"{REF}/I_da")
+    # stub optional host-only deps the reference imports at module scope
+    for name in ("kaldi_io", "fairseq", "soundfile", "librosa", "torchaudio", "amfm_decompy", "amfm_decompy.pYAAPT", "amfm_decompy.basic_tools"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
     # dist shim no-ops when torch.distributed uninitialized -> fine on CPU.
     import src.models as ida_models            # noqa: F401
     import src.modules.jukebox as ida_jukebox  # noqa: F401
     import src.modules.vq as ida_vq            # noqa: F401
     return ida_models, ida_jukebox, ida_vq
+
+
+def _stub_ida_dist():
+    """vq.py does `import src.modules.dist as dist`; provide the no-op
+    single-process fallback (the shim itself no-ops when torch.distributed is
+    uninitialized, so identical semantics)."""
+    if "src.modules.dist" in sys.modules:
+        return
+    pkg = sys.modules.setdefault("src", types.ModuleType("src"))
+    mods = sys.modules.setdefault("src.modules", types.ModuleType("src.modules"))
+    pkg.modules = mods
+    dist = types.ModuleType("src.modules.dist")
+    dist.broadcast = lambda *a, **k: None
+    dist.all_reduce = lambda *a, **k: None
+    dist.all_gather = lambda *a, **k: None
+    dist.barrier = lambda *a, **k: None
+    sys.modules["src.modules.dist"] = dist
+    mods.dist = dist
+
+
+def ref_vq():
+    """Reference VQ module with `.cuda()` no-op'd (no GPU in the sandbox;
+    BottleneckBlock.reset_k constructs buffers with .cuda())."""
+    if not getattr(torch.Tensor.cuda, "_patched", False):
+        def _cpu(self, *a, **k):
+            return self
+        _cpu._patched = True
+        torch.Tensor.cuda = _cpu
+    _stub_ida_dist()
+    return load_module(f"{REF}/I_da/src/modules/vq.py", "ref_ida_vq")
 
 
 class AttrDict(dict):
