@@ -120,7 +120,7 @@ def _lloyd(key, x, C, iters: int, chunk: int):
 
 
 def fit_kmeans(x, k: int, *, iters: int = 50, seed: int = 1234,
-               init_sample: int = 65536, chunk: int = 8192):
+               init_sample: int = 65536, chunk: int = 8192, n_init: int = 3):
     """Fit k-means on device: kmeans++ seed (on a subsample) + Lloyd iterations.
 
     The reference fits sklearn MiniBatchKMeans(batch 1024, k-means++,
@@ -131,21 +131,26 @@ def fit_kmeans(x, k: int, *, iters: int = 50, seed: int = 1234,
     """
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
-    key = jax.random.PRNGKey(seed)
-    kinit, kfit = jax.random.split(key)
     # seeding subsample: host-side choice (no-replacement choice on device
     # compiles a full sort over n — ~30s for 200k rows)
     sub = x if n <= init_sample else x[np.random.default_rng(seed).choice(
         n, init_sample, replace=False)]
-    C = _kmeanspp_init(kinit, sub, k)
     pad = (-n) % chunk
     if pad:
         # weight-0 padding would complicate the segment sums; instead repeat
-        # rows (repeats only bias counts, not the argmin structure, and the
-        # final Lloyd step is refit on exact stats below)
+        # rows (repeats only bias counts, not the argmin structure)
         x = jnp.concatenate([x, x[:pad]], axis=0)
-    C, inertia = _lloyd(kfit, x, C, iters, chunk)
-    return C, float(inertia)
+    # n_init restarts (sklearn-style): keep the lowest-inertia run.
+    # Restarts reuse the jit caches, so only the first pays compilation.
+    best = (None, np.inf)
+    for i in range(n_init):
+        kinit, kfit = jax.random.split(jax.random.PRNGKey(seed + i))
+        C = _kmeanspp_init(kinit, sub, k)
+        C, inertia = _lloyd(kfit, x, C, iters, chunk)
+        inertia = float(inertia)
+        if inertia < best[1]:
+            best = (C, inertia)
+    return best
 
 
 @dataclasses.dataclass
