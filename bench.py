@@ -1,0 +1,86 @@
+"""Benchmark: informed-inpainting throughput (audio-sec/sec/chip).
+
+Drives the flagship fused graph — wav → mask → mel(hop441) → HuBERT-base+head
+→ nearest-centroid splice → extend_mel → HiFi-GAN V1 → wav — on the default
+JAX device with a 200 ms mask (the BASELINE.json north-star config), batched
+over real LJSpeech audio from the reference checkout.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (the ≥50× real-time target for TPU v5e-1).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def load_wavs():
+    """Real audio: reference test files, tiled to a batch (host-side resample
+    16k variant exists alongside 22k)."""
+    from scipy.io import wavfile
+    sr22, w22 = wavfile.read(
+        "/root/reference/I_ea/hifi_gan/test_files/LJ001-0001_22k.wav")
+    sr16, w16 = wavfile.read(
+        "/root/reference/I_ea/hifi_gan/test_files/LJ001-0001_16k.wav")
+    assert sr22 == 22050 and sr16 == 16000
+    return (w22 / 32768.0).astype(np.float32), (w16 / 32768.0).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.infer.inpaint import (InformedInpainter,
+                                                     InpainterConfig)
+    from speech_inpainting_tpu.models.hifigan import Generator, HiFiGANConfig
+    from speech_inpainting_tpu.models.hubert import (EncoderWithHead,
+                                                     HubertConfig)
+
+    w22, w16 = load_wavs()
+    seconds = 4.0
+    t22, t16 = int(22050 * seconds), int(16000 * seconds)
+    w22, w16 = w22[:t22], w16[:t16]
+    B = 16
+    rng = np.random.default_rng(0)
+    # decorrelate batch rows by circular shifts of the real utterance
+    wav22 = np.stack([np.roll(w22, int(s)) for s in
+                      rng.integers(0, t22, B)]).astype(np.float32)
+    wav16 = np.stack([np.roll(w16, int(s)) for s in
+                      rng.integers(0, t16, B)]).astype(np.float32)
+    n_frames = t16 // 320
+    mask_len = 10  # 200 ms
+    mask_pos = rng.integers(1, n_frames - mask_len - 1, B).astype(np.int32)
+
+    hcfg = HubertConfig.base()
+    gcfg = HiFiGANConfig()
+    hub = EncoderWithHead(hcfg, out_dim=80)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    gen = Generator(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 8)))["params"]
+    centroids = jnp.asarray(rng.standard_normal((100, 80)), jnp.float32)
+    inp = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
+                            hp, gp, centroids)
+
+    lens = np.full(B, mask_len, np.int32)
+    out = inp.batch(wav22, wav16, mask_pos, lens)      # compile
+    jax.block_until_ready(out["inpainted"])
+
+    n_iter, best = 5, np.inf
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        out = inp.batch(wav22, wav16, mask_pos, lens)
+        jax.block_until_ready(out["inpainted"])
+        best = min(best, time.perf_counter() - t0)
+
+    audio_sec = B * out["inpainted"].shape[-1] / 22050.0
+    rtf = audio_sec / best
+    print(json.dumps({
+        "metric": "informed_inpaint_throughput",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec/chip (HuBERT-base+HiFi-GAN-V1, 200ms mask, "
+                f"batch {B}x{seconds:.0f}s)",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -190,3 +190,66 @@ class SNConv1d(nn.Module):
 
 def leaky_relu(x, slope: float = LRELU_SLOPE):
     return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+class TorchConv1d(nn.Module):
+    """Plain Conv1d with torch default init/layout (jukebox enc/dec convs)."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kshape = (self.features, in_ch // self.groups, self.kernel_size)
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        init = (nn.initializers.zeros if self.zero_init
+                else torch_conv_init(fan_in))
+        w = self.param("w", init, kshape).astype(self.dtype)
+        b = None
+        if self.use_bias:
+            binit = (nn.initializers.zeros if self.zero_init
+                     else torch_conv_init(fan_in))
+            b = self.param("b", binit, (self.features,)).astype(self.dtype)
+        return conv1d(x.astype(self.dtype), w, b, stride=self.stride,
+                      padding=self.padding, dilation=self.dilation,
+                      groups=self.groups)
+
+
+class TorchConvTranspose1d(nn.Module):
+    """Plain ConvTranspose1d with torch default init/layout."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[1]
+        kshape = (in_ch, self.features, self.kernel_size)
+        fan_in = self.features * self.kernel_size  # torch convT fan_in
+        w = self.param("w", torch_conv_init(fan_in), kshape).astype(self.dtype)
+        b = (self.param("b", torch_conv_init(fan_in), (self.features,))
+             .astype(self.dtype) if self.use_bias else None)
+        return conv_transpose1d(x.astype(self.dtype), w, b, stride=self.stride,
+                                padding=self.padding)
+
+
+class Embed(nn.Module):
+    """torch nn.Embedding (N(0,1) init), returning (B, ..., dim)."""
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param("weight", nn.initializers.normal(1.0),
+                           (self.num_embeddings, self.features))
+        return jnp.take(table, ids, axis=0)

@@ -51,18 +51,44 @@ def ref_hifigan_models():
 
 
 def ref_ida_modules():
-    """I_da uses `from src...` absolute imports; put I_da on sys.path."""
-    if f"{REF}/I_da" not in sys.path:
-        sys.path.insert(0, f"{REF}/I_da")
+    """Load the I_da reference modules, bypassing the repo's broken
+    src/modules/__init__.py (it imports files that don't exist upstream).
+    Registers each under its canonical 'src.*' name so intra-repo imports
+    resolve. Returns (models, jukebox, vq, model)."""
+    if getattr(ref_ida_modules, "_cache", None):
+        return ref_ida_modules._cache
     # stub optional host-only deps the reference imports at module scope
-    for name in ("kaldi_io", "fairseq", "soundfile", "librosa", "torchaudio", "amfm_decompy", "amfm_decompy.pYAAPT", "amfm_decompy.basic_tools"):
+    for name in ("kaldi_io", "fairseq", "soundfile", "librosa", "torchaudio",
+                 "amfm_decompy", "amfm_decompy.pYAAPT",
+                 "amfm_decompy.basic_tools"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
-    # dist shim no-ops when torch.distributed uninitialized -> fine on CPU.
-    import src.models as ida_models            # noqa: F401
-    import src.modules.jukebox as ida_jukebox  # noqa: F401
-    import src.modules.vq as ida_vq            # noqa: F401
-    return ida_models, ida_jukebox, ida_vq
+    if not getattr(torch.Tensor.cuda, "_patched", False):
+        def _cpu(self, *a, **k):
+            return self
+        _cpu._patched = True
+        torch.Tensor.cuda = _cpu
+    _stub_ida_dist()
+    # utils imports HubertFeatureReader (fairseq-based) at module scope;
+    # stub the class — the parity tests never touch it
+    hfr = types.ModuleType("src.hubert_feature_reader")
+    hfr.HubertFeatureReader = object
+    sys.modules["src.hubert_feature_reader"] = hfr
+    utils = load_module(f"{REF}/I_da/src/utils.py", "src.utils")
+    sys.modules["src"].utils = utils
+    resnet = load_module(f"{REF}/I_da/src/modules/resnet.py",
+                         "src.modules.resnet")
+    sys.modules["src.modules"].resnet = resnet
+    vq = load_module(f"{REF}/I_da/src/modules/vq.py", "src.modules.vq")
+    sys.modules["src.modules"].vq = vq
+    jukebox = load_module(f"{REF}/I_da/src/modules/jukebox.py",
+                          "src.modules.jukebox")
+    sys.modules["src.modules"].jukebox = jukebox
+    models = load_module(f"{REF}/I_da/src/models.py", "src.models")
+    sys.modules["src"].models = models
+    model = load_module(f"{REF}/I_da/src/model.py", "src.model")
+    ref_ida_modules._cache = (models, jukebox, vq, model)
+    return ref_ida_modules._cache
 
 
 def _stub_ida_dist():

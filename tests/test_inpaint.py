@@ -1,0 +1,104 @@
+"""Informed-inpainting graph tests: splice semantics, static-shape reuse
+across mask positions, and normalization parity with the reference recipe."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from speech_inpainting_tpu.infer.inpaint import (
+    InformedInpainter, InpainterConfig, meanvar_normalize, peak_normalize)
+from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+from speech_inpainting_tpu.models.hubert import (EncoderWithHead, HubertConfig)
+from speech_inpainting_tpu.models.hifigan import Generator
+from speech_inpainting_tpu.ops.mel import HUBERT_ALIGNED_MEL_22K, mel_spectrogram
+from speech_inpainting_tpu.ops.masking import mask_span
+
+
+def tiny_inpainter(rng, k=7):
+    hcfg = HubertConfig(conv_dim=(8,) * 7, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=24,
+                        num_conv_pos_embeddings=15,
+                        num_conv_pos_embedding_groups=1)
+    gcfg = HiFiGANConfig(upsample_rates=(8, 8, 2, 2),
+                         upsample_kernel_sizes=(16, 16, 4, 4),
+                         upsample_initial_channel=16,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    centroids = rng.standard_normal((k, 80)).astype(np.float32)
+    hub = EncoderWithHead(hcfg, out_dim=80)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    gen = Generator(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 8)))["params"]
+    cfg = InpainterConfig(hubert=hcfg, hifigan=gcfg)
+    return InpainterConfig, InformedInpainter(cfg, hp, gp, centroids), centroids
+
+
+def test_inpaint_shapes_and_splice(rng):
+    _, inp, centroids = tiny_inpainter(rng)
+    t16, t22 = 16000, 22050
+    wav16 = (rng.standard_normal(t16) * 0.1).astype(np.float32)
+    wav22 = (rng.standard_normal(t22) * 0.1).astype(np.float32)
+    pos, ln = 10, 5
+    out = inp(wav22, wav16, pos, ln)
+    n_frames = HUBERT_ALIGNED_MEL_22K.num_frames(t22)
+    assert out["mel_masked"].shape == (80, n_frames)
+    assert out["inpainted"].shape[0] == int(n_frames * 441 / 256) * 256
+    assert np.isfinite(np.asarray(out["inpainted"])).all()
+
+    mel_m = np.asarray(out["mel_masked"])
+    mel_i = np.asarray(out["mel_inpainted"])
+    # outside the mask the inpainted mel is untouched
+    np.testing.assert_array_equal(mel_i[:, :pos], mel_m[:, :pos])
+    np.testing.assert_array_equal(mel_i[:, pos + ln:], mel_m[:, pos + ln:])
+    # inside, frames are codebook entries (centered + center = original rows)
+    pred = np.asarray(out["pred_labels"])[pos:pos + ln]
+    want = centroids[pred].T
+    np.testing.assert_allclose(mel_i[:, pos:pos + ln], want, atol=1e-5)
+
+
+def test_inpaint_no_retrace_across_masks(rng):
+    _, inp, _ = tiny_inpainter(rng)
+    wav16 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    wav22 = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    inp(wav22, wav16, 5, 3)
+    # _graph's jit cache is shared across instances (self is a static arg),
+    # so assert no growth rather than an absolute count
+    n = inp._graph._cache_size()
+    inp(wav22, wav16, 20, 10)
+    inp(wav22, wav16, 0, 1)
+    assert inp._graph._cache_size() == n
+
+
+def test_expected_inpaint_uses_target_labels(rng):
+    _, inp, centroids = tiny_inpainter(rng)
+    wav22 = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    n_frames = HUBERT_ALIGNED_MEL_22K.num_frames(22050)
+    labels = rng.integers(0, len(centroids), n_frames)
+    pos, ln = 8, 4
+    out = inp.expected_inpaint(wav22, labels, pos, ln)
+    mel_e = np.asarray(out["mel_expected"])
+    want = centroids[labels[pos:pos + ln]].T
+    np.testing.assert_allclose(mel_e[:, pos:pos + ln], want, atol=1e-5)
+
+
+def test_normalizations_match_reference_recipes(rng):
+    x = rng.standard_normal(1000).astype(np.float32) * 3.0
+    got = np.asarray(peak_normalize(jnp.asarray(x)))
+    want = x / np.abs(x).max() * 0.95  # librosa.util.normalize * 0.95
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    got = np.asarray(meanvar_normalize(jnp.asarray(x)))
+    want = (x - x.mean()) / np.sqrt(x.var() + 1e-7)  # HF processor
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mask_span_conventions(rng):
+    """predict.py:133 writes the 16k mask end as (pos+len)*320+79-80, which
+    equals (pos+len)*320-1 — both must zero the same samples."""
+    from speech_inpainting_tpu.ops.masking import mask_wave_frames
+    wav = np.ones(6400, np.float32)
+    pos, ln = 3, 2
+    got = np.asarray(mask_wave_frames(jnp.asarray(wav), pos, ln))
+    want = wav.copy()
+    want[pos * 320 + 80:(pos + ln) * 320 + 79 - 80] = 0
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,106 @@
+"""I_ea training-step tests: loss decreases, two-group optimizer behavior,
+frozen-encoder mode, and data-parallel sharding over the 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_inpainting_tpu.models.hubert import EncoderWithHead, HubertConfig
+from speech_inpainting_tpu.train.ea import (EAConfig, create_state, eval_step,
+                                            make_train_step)
+
+TINY = HubertConfig(conv_dim=(8,) * 7, hidden_size=16, num_hidden_layers=1,
+                    num_attention_heads=2, intermediate_size=24,
+                    num_conv_pos_embeddings=15,
+                    num_conv_pos_embedding_groups=1)
+
+
+def make_batch(rng, cfg, B=4, T=3200, k=10):
+    n_frames = int(TINY.feature_lengths(np.array([T]))[0])
+    return {
+        "wav": rng.standard_normal((B, T)).astype(np.float32) * 0.1,
+        "attn_mask": np.ones((B, T), np.int32),
+        "mask_pos": rng.integers(0, n_frames - cfg.mask_length, B).astype(np.int32),
+        "labels": rng.integers(0, k, (B, cfg.mask_length)).astype(np.int32),
+    }
+
+
+def setup(rng, **cfg_over):
+    cfg = EAConfig(mask_length=3, **cfg_over)
+    model = EncoderWithHead(TINY, out_dim=8)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    centroids = rng.standard_normal((10, 8)).astype(np.float32)
+    return cfg, model, params, centroids
+
+
+@pytest.mark.parametrize("loss", ["cos_sim", "mse", "softmax"])
+def test_train_step_improves_loss(rng, loss):
+    out_dim = 10 if loss == "softmax" else 8
+    cfg = EAConfig(mask_length=3, loss=loss, base_lr=1e-3, fc_lr=1e-3)
+    model = EncoderWithHead(TINY, out_dim=out_dim)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    centroids = rng.standard_normal((10, 8)).astype(np.float32)
+    state = create_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg, centroids))
+    batch = make_batch(rng, cfg)
+    _, m0 = step(state, batch)
+    for _ in range(12):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["acc"]) <= 1.0
+
+
+def test_frozen_encoder_mode(rng):
+    cfg, model, params, centroids = setup(rng, train_encoder=False)
+    state = create_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg, centroids))
+    batch = make_batch(rng, cfg)
+    new_state, _ = step(state, batch)
+    # encoder unchanged, head changed
+    def maxdiff(a, b):
+        return max(float(jnp.abs(x - y).max()) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+    assert maxdiff(new_state.params["hubert"], state.params["hubert"]) == 0.0
+    assert maxdiff(new_state.params["head"], state.params["head"]) > 0.0
+
+
+def test_eval_step_matches_loss(rng):
+    cfg, model, params, centroids = setup(rng)
+    ev = eval_step(model, cfg, centroids)
+    batch = make_batch(rng, cfg)
+    m = ev(params, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dryrun_multichip_8_devices():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_data_parallel_matches_single_device(rng):
+    """The pjit'd step over 8 devices must equal the single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from speech_inpainting_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, centroids = setup(rng)
+    step = make_train_step(model, cfg, centroids)
+    batch = make_batch(rng, cfg, B=8)
+    state = create_state(cfg, params)
+
+    s1, m1 = jax.jit(step)(state, batch)
+
+    mesh = make_mesh()
+    repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    state_r = jax.device_put(state, repl)
+    batch_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, data), batch)
+    s8, m8 = jax.jit(step, in_shardings=(repl, data),
+                     out_shardings=(repl, repl))(state_r, batch_r)
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s8.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
