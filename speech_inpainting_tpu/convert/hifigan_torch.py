@@ -17,9 +17,11 @@ from ..models.hifigan import HiFiGANConfig
 
 
 def _np(t):
+    # copy: .numpy() would alias torch storage, which later in-place
+    # optimizer updates on the source module would silently mutate
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def _wn_params(sd: dict, prefix: str, transpose_g: bool = False) -> dict:

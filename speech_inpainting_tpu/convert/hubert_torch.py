@@ -20,9 +20,11 @@ from ..models.hubert import HubertConfig
 
 
 def _np(t):
+    # copy: .numpy() would alias torch storage, which later in-place
+    # optimizer updates on the source module would silently mutate
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def _ln(sd, prefix):

@@ -28,9 +28,11 @@ from .hifigan_torch import convert_generator
 
 
 def _np(t):
+    # copy: .numpy() would alias torch storage, which later in-place
+    # optimizer updates on the source module would silently mutate
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def _conv(sd, prefix):

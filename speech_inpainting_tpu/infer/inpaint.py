@@ -19,6 +19,10 @@ Reference conventions matched:
 
 `mask_pos`/`mask_len` are traced scalars: any mask position/length reuses one
 compiled graph (frame grid of hop-441 mel == HuBERT 20 ms frame grid).
+
+All model parameters are passed as jit ARGUMENTS (donated device residents),
+never closure constants — constants would be baked into the serialized HLO,
+which breaks remote-compile backends and bloats every compile.
 """
 from __future__ import annotations
 
@@ -56,6 +60,25 @@ class InpainterConfig:
     normalize_16k: bool = True  # HF processor do_normalize
 
 
+def _masked_mel22(wav22, mask_pos, mask_len):
+    masked22 = jax.vmap(mask_span)(wav22, mask_pos * 441, mask_len * 441)
+    return mel_spectrogram(peak_normalize(masked22), HUBERT_ALIGNED_MEL_22K)
+
+
+def _splice(mel, frames_btd, mask_pos, mask_len):
+    """Replace mel frames inside [pos, pos+len) with frames_btd (B, T, 80),
+    padding/truncating the replacement stream to the mel frame count."""
+    n_frames = mel.shape[-1]
+    t = frames_btd.shape[1]
+    if t < n_frames:
+        frames_btd = jnp.pad(frames_btd, ((0, 0), (0, n_frames - t), (0, 0)))
+    else:
+        frames_btd = frames_btd[:, :n_frames]
+    m = jax.vmap(frame_mask, in_axes=(None, 0, 0))(n_frames, mask_pos,
+                                                   mask_len)
+    return jnp.where(m[:, None, :], jnp.swapaxes(frames_btd, 1, 2), mel)
+
+
 class InformedInpainter:
     """Jit-compiled informed inpainting. Construct once, call per utterance.
 
@@ -74,101 +97,84 @@ class InformedInpainter:
         C = jnp.asarray(centroids, jnp.float32)
         self._center = C.mean(axis=0)
         self._C_centered = C - self._center[None, :]
+        self._graph = jax.jit(self._graph_impl)
+        self._expected_graph = jax.jit(self._expected_impl)
+        self._hifi_masked_graph = jax.jit(self._hifi_masked_impl)
 
-    @partial(jax.jit, static_argnums=0)
-    def _graph(self, wav22, wav16, mask_pos, mask_len):
+    # --- pure graphs (params are arguments, not constants) ---------------
+
+    def _graph_impl(self, hp, gp, Cc, center, wav22, wav16, mask_pos,
+                    mask_len):
         """Batched graph: wav22 (B,T22), wav16 (B,T16), mask_pos/len (B,)."""
         cfg = self.cfg
-        # --- 22 kHz branch: masked mel for the vocoder -----------------
-        masked22 = jax.vmap(mask_span)(wav22, mask_pos * 441, mask_len * 441)
-        masked22 = peak_normalize(masked22)
-        mel = mel_spectrogram(masked22, HUBERT_ALIGNED_MEL_22K)  # (B,80,F)
-        n_frames = mel.shape[-1]
+        mel = _masked_mel22(wav22, mask_pos, mask_len)        # (B, 80, F)
 
         # --- 16 kHz branch: HuBERT prediction of masked frames ---------
         masked16 = jax.vmap(mask_wave_frames)(wav16, mask_pos, mask_len)
         if cfg.normalize_16k:
             masked16 = meanvar_normalize(masked16)
-        emb = self._hubert.apply({"params": self._hubert_params},
-                                 masked16)                    # (B, T, 80)
+        emb = self._hubert.apply({"params": hp}, masked16)    # (B, T, 80)
 
         # nearest centroid by centered cosine sim (LossFunction.cos_sim)
         en = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-        cn = self._C_centered / jnp.maximum(
-            jnp.linalg.norm(self._C_centered, axis=-1, keepdims=True), 1e-8)
+        cn = Cc / jnp.maximum(
+            jnp.linalg.norm(Cc, axis=-1, keepdims=True), 1e-8)
         pred_labels = jnp.argmax(en @ cn.T, axis=-1)          # (B, T)
-        pred_mels = self._C_centered[pred_labels] + self._center  # (B, T, 80)
+        pred_mels = Cc[pred_labels] + center                  # (B, T, 80)
 
-        # --- splice predictions over the masked mel frames -------------
-        # HuBERT frame count can differ from the hop-441 frame count by edge
-        # effects; align by padding/truncating predictions to n_frames.
-        t = pred_mels.shape[1]
-        if t < n_frames:
-            pred_mels = jnp.pad(pred_mels, ((0, 0), (0, n_frames - t), (0, 0)))
-        else:
-            pred_mels = pred_mels[:, :n_frames]
-        m = jax.vmap(frame_mask, in_axes=(None, 0, 0))(
-            n_frames, mask_pos, mask_len)                      # (B, F)
-        inpainted_mel = jnp.where(m[:, None, :],
-                                  jnp.swapaxes(pred_mels, 1, 2), mel)
-
-        # --- vocoder ----------------------------------------------------
-        feats = extend_mel(inpainted_mel)
-        wav = self._gen.apply({"params": self._gen_params}, feats)
+        inpainted_mel = _splice(mel, pred_mels, mask_pos, mask_len)
+        wav = self._gen.apply({"params": gp}, extend_mel(inpainted_mel))
         return dict(inpainted=wav[:, 0], mel_masked=mel,
                     mel_inpainted=inpainted_mel, pred_labels=pred_labels)
 
-    @partial(jax.jit, static_argnums=0)
-    def _hifi_masked(self, wav22, mask_pos, mask_len):
-        """Reference 'hifi_masked.wav': vocode the masked mel as-is."""
-        masked22 = peak_normalize(mask_span(wav22, mask_pos * 441,
-                                            mask_len * 441))
-        mel = mel_spectrogram(masked22[None], HUBERT_ALIGNED_MEL_22K)
-        wav = self._gen.apply({"params": self._gen_params}, extend_mel(mel))
-        return wav[0, 0]
+    def _expected_impl(self, gp, Cc, center, wav22, labels, mask_pos,
+                       mask_len):
+        """Reference 'expected_inpaint': splice the TRUE centroid frames
+        (predict.py:175-189) — the decoder-only upper bound."""
+        mel = _masked_mel22(wav22, mask_pos, mask_len)
+        exp_mels = Cc[labels] + center                        # (B, T, 80)
+        exp_mel = _splice(mel, exp_mels, mask_pos, mask_len)
+        wav = self._gen.apply({"params": gp}, extend_mel(exp_mel))
+        return dict(expected_inpaint=wav[:, 0], mel_expected=exp_mel)
 
-    def hifi_masked(self, wav22, mask_pos, mask_len):
-        return self._hifi_masked(jnp.asarray(wav22, jnp.float32),
-                                 jnp.asarray(mask_pos, jnp.int32),
-                                 jnp.asarray(mask_len, jnp.int32))
+    def _hifi_masked_impl(self, gp, wav22, mask_pos, mask_len):
+        """Reference 'hifi_masked.wav': vocode the masked mel as-is."""
+        mel = _masked_mel22(wav22, mask_pos, mask_len)
+        wav = self._gen.apply({"params": gp}, extend_mel(mel))
+        return wav[:, 0]
+
+    # --- user API ---------------------------------------------------------
 
     def __call__(self, wav22, wav16, mask_pos, mask_len):
         """Single utterance: wav22 (T22,), wav16 (T16,) float32;
         mask_pos/mask_len in 20 ms frames. Returns dict of device arrays."""
-        out = self._graph(jnp.asarray(wav22, jnp.float32)[None],
-                          jnp.asarray(wav16, jnp.float32)[None],
-                          jnp.asarray(mask_pos, jnp.int32)[None],
-                          jnp.asarray(mask_len, jnp.int32)[None])
+        out = self.batch(jnp.asarray(wav22, jnp.float32)[None],
+                         jnp.asarray(wav16, jnp.float32)[None],
+                         jnp.asarray(mask_pos, jnp.int32)[None],
+                         jnp.asarray(mask_len, jnp.int32)[None])
         return jax.tree_util.tree_map(lambda x: x[0], out)
 
     def batch(self, wav22, wav16, mask_pos, mask_len):
         """Batched: wav22 (B,T22), wav16 (B,T16), mask_pos/len (B,)."""
-        return self._graph(jnp.asarray(wav22, jnp.float32),
+        return self._graph(self._hubert_params, self._gen_params,
+                           self._C_centered, self._center,
+                           jnp.asarray(wav22, jnp.float32),
                            jnp.asarray(wav16, jnp.float32),
                            jnp.asarray(mask_pos, jnp.int32),
                            jnp.asarray(mask_len, jnp.int32))
 
     def expected_inpaint(self, wav22, target_labels, mask_pos, mask_len):
-        """Reference 'expected_inpaint': splice the TRUE centroid frames
-        (predict.py:175-189) — the decoder-only upper bound."""
-        return self._expected(jnp.asarray(wav22, jnp.float32),
-                              jnp.asarray(target_labels, jnp.int32),
-                              jnp.asarray(mask_pos, jnp.int32),
-                              jnp.asarray(mask_len, jnp.int32))
+        out = self._expected_graph(
+            self._gen_params, self._C_centered, self._center,
+            jnp.asarray(wav22, jnp.float32)[None],
+            jnp.asarray(target_labels, jnp.int32)[None],
+            jnp.asarray(mask_pos, jnp.int32)[None],
+            jnp.asarray(mask_len, jnp.int32)[None])
+        return jax.tree_util.tree_map(lambda x: x[0], out)
 
-    @partial(jax.jit, static_argnums=0)
-    def _expected(self, wav22, labels, mask_pos, mask_len):
-        masked22 = peak_normalize(mask_span(wav22, mask_pos * 441,
-                                            mask_len * 441))
-        mel = mel_spectrogram(masked22[None], HUBERT_ALIGNED_MEL_22K)
-        n_frames = mel.shape[-1]
-        lab = labels[:n_frames]
-        exp_mels = self._C_centered[lab] + self._center
-        if exp_mels.shape[0] < n_frames:
-            exp_mels = jnp.pad(
-                exp_mels, ((0, n_frames - exp_mels.shape[0]), (0, 0)))
-        m = frame_mask(n_frames, mask_pos, mask_len)
-        exp_mel = jnp.where(m[None, None, :], exp_mels.T[None], mel)
-        wav = self._gen.apply({"params": self._gen_params}, extend_mel(exp_mel))
-        return dict(expected_inpaint=wav[0, 0], mel_expected=exp_mel[0])
+    def hifi_masked(self, wav22, mask_pos, mask_len):
+        return self._hifi_masked_graph(
+            self._gen_params, jnp.asarray(wav22, jnp.float32)[None],
+            jnp.asarray(mask_pos, jnp.int32)[None],
+            jnp.asarray(mask_len, jnp.int32)[None])[0]

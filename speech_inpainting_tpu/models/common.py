@@ -179,8 +179,11 @@ class SNConv1d(nn.Module):
         else:
             # torch eval mode: reuse stored u, v without iterating
             u, v = u_var.value, v_var.value
+        # torch: u, v are detached buffers but σ = uᵀWv keeps its W-gradient
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
         sigma = u @ (w_mat @ v)
-        w_sn = (w / jax.lax.stop_gradient(sigma)).astype(self.dtype)
+        w_sn = (w / sigma).astype(self.dtype)
         b = (self.param("b", torch_conv_init(fan_in), (self.features,))
              .astype(self.dtype) if self.use_bias else None)
         return conv1d(x.astype(self.dtype), w_sn, b, stride=self.stride,

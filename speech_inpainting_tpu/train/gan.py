@@ -1,0 +1,149 @@
+"""GAN training step (HiFi-GAN / CodeGenerator): D-then-G in one jitted fn.
+
+Reproduces the reference schedule exactly (I_ea/hifi_gan/train.py:148-186,
+I_da/scripts/train.py:243-297 — code new):
+  1. one generator forward ŷ
+  2. D step: LSGAN loss on (y, stop_grad(ŷ)) for MPD+MSD, AdamW update
+  3. G step: adv + feature-matching + mel-L1×45 (+ λ·commit) computed on the
+     SAME ŷ but against the UPDATED discriminators; gradients flow to the
+     generator through a jax.vjp of the single forward — one fwd + one bwd
+     per step, exactly the reference's FLOP count, fully fused under jit.
+
+Optimizers: AdamW(lr, betas (0.8, 0.99), torch-default wd 0.01) ×2 with
+per-epoch ExponentialLR decay (staircase schedule over steps_per_epoch).
+MSD spectral-norm power-iteration state is threaded through both
+discriminator phases ('spectral' collection), matching torch train mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .. import losses
+from ..models.hifigan import MultiPeriodDiscriminator, MultiScaleDiscriminator
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    weight_decay: float = 0.01       # torch AdamW default
+    lr_decay: float = 0.999          # per-epoch ExponentialLR gamma
+    steps_per_epoch: int = 1000
+    mel_weight: float = 45.0
+    lambda_commit: float = 0.0       # I_da lambda_commit_code
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any                    # {"mpd": ..., "msd": ...}
+    spectral: Any                    # MSD spectral-norm u/v state
+    g_opt: Any
+    d_opt: Any
+
+
+def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
+    sched = optax.exponential_decay(
+        init_value=cfg.learning_rate, transition_steps=cfg.steps_per_epoch,
+        decay_rate=cfg.lr_decay, staircase=True)
+    return optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                       weight_decay=cfg.weight_decay)
+
+
+def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,
+                     spectral) -> GANTrainState:
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32), g_params=g_params,
+        d_params={"mpd": mpd_params, "msd": msd_params}, spectral=spectral,
+        g_opt=_make_opt(cfg).init(g_params),
+        d_opt=_make_opt(cfg).init({"mpd": mpd_params, "msd": msd_params}))
+
+
+def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
+    """Build step(state, batch) -> (state, metrics).
+
+    generator_fwd(g_params, batch) -> ŷ (B, 1, T) or (ŷ, commit_loss).
+    mel_fn(wav (B, T)) -> loss mel (the full-band fmax_for_loss mel).
+    batch must contain 'audio' (B, 1, T) ground truth and 'mel_loss'
+    (B, n_mels, F) precomputed ground-truth loss mel.
+    """
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    g_opt, d_opt = _make_opt(cfg), _make_opt(cfg)
+    has_commit = cfg.lambda_commit > 0
+
+    def disc_apply(d_params, spectral, y, y_hat):
+        pr, pg, pfr, pfg = mpd.apply({"params": d_params["mpd"]}, y, y_hat)
+        (sr_, sg, sfr, sfg), new_spec = msd.apply(
+            {"params": d_params["msd"], "spectral": spectral}, y, y_hat,
+            True, mutable=["spectral"])
+        return (pr, pg, pfr, pfg), (sr_, sg, sfr, sfg), new_spec["spectral"]
+
+    def step(state: GANTrainState, batch):
+        y = batch["audio"]
+
+        # ---- 1. single generator forward, with a reusable vjp ----------
+        def fwd(gp):
+            out = generator_fwd(gp, batch)
+            if has_commit:
+                return out
+            return out, jnp.zeros(())
+        (y_hat, commit), gen_vjp = jax.vjp(fwd, state.g_params)
+
+        # ---- 2. discriminator update on stop_grad(ŷ) -------------------
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        def d_loss_fn(d_params):
+            (pr, pg, _, _), (sr_, sg, _, _), new_spec = disc_apply(
+                d_params, state.spectral, y, y_hat_sg)
+            loss_f, _, _ = losses.discriminator_loss(pr, pg)
+            loss_s, _, _ = losses.discriminator_loss(sr_, sg)
+            return loss_f + loss_s, new_spec
+
+        (d_loss, spec1), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt,
+                                              state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- 3. generator losses vs the UPDATED discriminators ---------
+        def g_loss_fn(y_hat, commit):
+            mel_estim = mel_fn(y_hat[:, 0])
+            (_, pg, pfr, pfg), (_, sg, sfr, sfg), spec2 = disc_apply(
+                d_params, spec1, y, y_hat)
+            loss_gen_f, _ = losses.generator_loss(pg)
+            loss_gen_s, _ = losses.generator_loss(sg)
+            loss_fm_f = losses.feature_loss(pfr, pfg)
+            loss_fm_s = losses.feature_loss(sfr, sfg)
+            loss_mel = cfg.mel_weight * jnp.mean(
+                jnp.abs(batch["mel_loss"] - mel_estim))
+            total = loss_gen_f + loss_gen_s + loss_fm_f + loss_fm_s + loss_mel
+            if has_commit:
+                total = total + cfg.lambda_commit * commit
+            aux = dict(mel_error=loss_mel / cfg.mel_weight,
+                       gen_f=loss_gen_f, gen_s=loss_gen_s,
+                       fm_f=loss_fm_f, fm_s=loss_fm_s, spectral=spec2)
+            return total, aux
+
+        (g_loss, aux), (y_hat_bar, commit_bar) = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)(y_hat, commit)
+        (g_grads,) = gen_vjp((y_hat_bar, commit_bar))
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt,
+                                              state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        spectral = aux.pop("spectral")
+        metrics = dict(loss_gen_all=g_loss, loss_disc=d_loss, **aux)
+        new_state = GANTrainState(step=state.step + 1, g_params=g_params,
+                                  d_params=d_params, spectral=spectral,
+                                  g_opt=g_opt_state, d_opt=d_opt_state)
+        return new_state, metrics
+
+    return step

@@ -61,12 +61,10 @@ def test_inpaint_no_retrace_across_masks(rng):
     wav16 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
     wav22 = (rng.standard_normal(22050) * 0.1).astype(np.float32)
     inp(wav22, wav16, 5, 3)
-    # _graph's jit cache is shared across instances (self is a static arg),
-    # so assert no growth rather than an absolute count
     n = inp._graph._cache_size()
     inp(wav22, wav16, 20, 10)
     inp(wav22, wav16, 0, 1)
-    assert inp._graph._cache_size() == n
+    assert inp._graph._cache_size() == n == 1
 
 
 def test_expected_inpaint_uses_target_labels(rng):
