@@ -102,10 +102,13 @@ class MelConfig:
         return 1 + (num_samples + 2 * self.padding - self.n_fft) // self.hop_size
 
 
-# The three reference frontends:
+# The reference frontends:
 VOCODER_MEL_22K = MelConfig()                                     # hop 256 @22.05k
 VOCODER_MEL_22K_FULLBAND = MelConfig(fmax=None)                   # fmax_for_loss
 HUBERT_ALIGNED_MEL_22K = MelConfig(hop_size=441, pad=312)         # mel_dump.py
+# meldataset_modified.py computes its hop-441 mel through the hifi_gan
+# mel_spectrogram, whose pad is always (n_fft-hop)//2 = 291 (not 312):
+MODIFIED_MEL_22K = MelConfig(hop_size=441)
 VOCODER_MEL_16K = MelConfig(sampling_rate=16000)                  # I_da
 VOCODER_MEL_16K_FULLBAND = MelConfig(sampling_rate=16000, fmax=None)
 

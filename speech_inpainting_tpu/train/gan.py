@@ -38,6 +38,9 @@ class GANConfig:
     steps_per_epoch: int = 1000
     mel_weight: float = 45.0
     lambda_commit: float = 0.0       # I_da lambda_commit_code
+    frozen_g_paths: tuple = ()       # top-level generator subtrees to freeze
+                                     # (e.g. ("fo_vqvae",) — torch skips
+                                     # requires_grad=False params entirely)
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -57,12 +60,27 @@ def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
                        weight_decay=cfg.weight_decay)
 
 
+def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
+    base = _make_opt(cfg)
+    if not cfg.frozen_g_paths:
+        return base
+
+    def labels(params):
+        def lab(path, _):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            return "frozen" if top in cfg.frozen_g_paths else "train"
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, labels)
+
+
 def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,
                      spectral) -> GANTrainState:
     return GANTrainState(
         step=jnp.zeros((), jnp.int32), g_params=g_params,
         d_params={"mpd": mpd_params, "msd": msd_params}, spectral=spectral,
-        g_opt=_make_opt(cfg).init(g_params),
+        g_opt=_make_g_opt(cfg).init(g_params),
         d_opt=_make_opt(cfg).init({"mpd": mpd_params, "msd": msd_params}))
 
 
@@ -71,12 +89,13 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
 
     generator_fwd(g_params, batch) -> ŷ (B, 1, T) or (ŷ, commit_loss).
     mel_fn(wav (B, T)) -> loss mel (the full-band fmax_for_loss mel).
-    batch must contain 'audio' (B, 1, T) ground truth and 'mel_loss'
-    (B, n_mels, F) precomputed ground-truth loss mel.
+    batch must contain 'audio' (B, 1, T) ground truth; 'mel_loss'
+    (B, n_mels, F) is used if present, else computed in-graph as
+    mel_fn(audio) — the TPU-first default (no host mel precompute).
     """
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
-    g_opt, d_opt = _make_opt(cfg), _make_opt(cfg)
+    g_opt, d_opt = _make_g_opt(cfg), _make_opt(cfg)
     has_commit = cfg.lambda_commit > 0
 
     def disc_apply(d_params, spectral, y, y_hat):
@@ -88,6 +107,7 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
 
     def step(state: GANTrainState, batch):
         y = batch["audio"]
+        mel_gt = batch["mel_loss"] if "mel_loss" in batch else mel_fn(y[:, 0])
 
         # ---- 1. single generator forward, with a reusable vjp ----------
         def fwd(gp):
@@ -122,8 +142,7 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
             loss_gen_s, _ = losses.generator_loss(sg)
             loss_fm_f = losses.feature_loss(pfr, pfg)
             loss_fm_s = losses.feature_loss(sfr, sfg)
-            loss_mel = cfg.mel_weight * jnp.mean(
-                jnp.abs(batch["mel_loss"] - mel_estim))
+            loss_mel = cfg.mel_weight * jnp.mean(jnp.abs(mel_gt - mel_estim))
             total = loss_gen_f + loss_gen_s + loss_fm_f + loss_fm_s + loss_mel
             if has_commit:
                 total = total + cfg.lambda_commit * commit
