@@ -1,0 +1,102 @@
+"""Metrics tests: SI-SDR/log-spectral formula parity with the reference,
+WER/CER edit distances, and STOI/ESTOI sanity (monotonic in SNR, ~1 on
+identity)."""
+import numpy as np
+import pytest
+
+from speech_inpainting_tpu.metrics.objective import (avg_cosine_sim, cer,
+                                                     log_spectral_d2,
+                                                     log_spectral_rmse,
+                                                     normalize_text, si_sdr,
+                                                     wer)
+from speech_inpainting_tpu.metrics.stoi import stoi
+
+
+def test_si_sdr_matches_reference_formula(rng):
+    ref = rng.standard_normal(8000).astype(np.float32)
+    est = ref + 0.1 * rng.standard_normal(8000).astype(np.float32)
+    # reference sisdr (metrics.py:127-142) re-evaluated inline
+    eps = np.finfo(est.dtype).eps
+    r = ref.reshape(-1, 1)
+    e = est.reshape(-1, 1)
+    a = (eps + r.T @ e) / (r.T @ r + eps)
+    e_true = a * r
+    e_res = e - e_true
+    want = 10 * np.log10((eps + (e_true ** 2).sum())
+                         / (eps + (e_res ** 2).sum()))
+    np.testing.assert_allclose(si_sdr(est, ref), float(want), rtol=1e-6)
+    # invariance to scaling of the estimate
+    np.testing.assert_allclose(si_sdr(3.0 * est, ref), si_sdr(est, ref),
+                               rtol=1e-5)
+
+
+def test_log_spectral_formulas(rng):
+    a = rng.standard_normal((50, 80))
+    b = a + 0.1 * rng.standard_normal((50, 80))
+    scale = 20 / np.log(10)
+    ac = a - a.mean(0)
+    bc = b - b.mean(0)
+    want_rmse = scale * np.sqrt(np.mean((ac - bc) ** 2))
+    want_d2 = (scale * np.sqrt(np.mean((ac - bc) ** 2, axis=0))).mean()
+    np.testing.assert_allclose(log_spectral_rmse(a, b), want_rmse, rtol=1e-6)
+    np.testing.assert_allclose(log_spectral_d2(a, b), want_d2, rtol=1e-6)
+    assert log_spectral_rmse(a, a) == 0.0
+
+
+def test_avg_cosine_sim(rng):
+    center = rng.standard_normal(8)
+    a = rng.standard_normal((5, 8))
+    assert avg_cosine_sim(a, a, center) == pytest.approx(1.0)
+    assert avg_cosine_sim(a, 2 * center - a, center) == pytest.approx(-1.0)
+
+
+def test_wer_cer():
+    assert wer("the cat sat", "the cat sat") == 0.0
+    assert wer("the cat sat", "the bat sat") == pytest.approx(1 / 3)
+    assert wer("a b c d", "a b") == pytest.approx(0.5)
+    assert cer("abc", "abd") == pytest.approx(1 / 3)
+    # normalization: case + punctuation stripped (reference preprocess_text)
+    assert wer("The cat, sat!", "the cat sat") == 0.0
+    assert normalize_text("Hello, World!") == "hello world"
+
+
+def speechy(rng, seconds=2.0, sr=10000):
+    """Speech-shaped test signal: 4 Hz-modulated pink noise (fills every
+    third-octave band with coherent envelope structure)."""
+    n = int(sr * seconds)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / sr)
+    spec[1:] /= np.sqrt(f[1:])          # 1/f power: pink
+    sig = np.fft.irfft(spec, n)
+    t = np.arange(n) / sr
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t)) + 0.05
+    sig = env * sig
+    return (sig / np.abs(sig).max()).astype(np.float64)
+
+
+@pytest.mark.parametrize("extended", [False, True], ids=["stoi", "estoi"])
+def test_stoi_identity_and_monotonic(rng, extended):
+    x = speechy(rng)
+    clean = stoi(x, x, 10000, extended=extended)
+    assert clean > 0.98
+
+    scores = []
+    for snr_db in (20, 5, -5):
+        noise = rng.standard_normal(len(x))
+        noise *= np.linalg.norm(x) / np.linalg.norm(noise) / 10 ** (snr_db / 20)
+        scores.append(stoi(x, x + noise, 10000, extended=extended))
+    assert scores[0] > scores[1] > scores[2]
+    assert scores[0] > 0.7 and scores[2] < 0.55
+
+
+def test_stoi_resamples_other_rates(rng):
+    x = speechy(rng, sr=10000)
+    from scipy.signal import resample_poly
+    x16 = resample_poly(x, 16000, 10000)
+    s = stoi(x16, x16, 16000, extended=True)
+    assert s > 0.98
+
+
+def test_stoi_too_short_raises(rng):
+    with pytest.raises(ValueError):
+        stoi(np.zeros(100), np.zeros(100), 10000)
