@@ -144,6 +144,10 @@ class CodeGenerator(nn.Module):
             feats = jnp.concatenate([emb_c, emb_p], axis=1)
         if cfg.multispkr:
             if cfg.external_speaker_emb:
+                if emb is None:
+                    raise ValueError(
+                        "multispkr with external_speaker_emb=True requires "
+                        "an `emb` d-vector input")
                 emb_s = emb
             else:
                 ids = spkr.reshape(spkr.shape[0])

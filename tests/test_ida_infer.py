@@ -1,0 +1,117 @@
+"""I_da inference tests: resynthesis RTF meter, voice conversion, and the
+blind/informed inpainting graph (splice semantics, alignment trims,
+no-retrace across mask sizes)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from speech_inpainting_tpu.infer.ida_inpaint import IdaInpainter
+from speech_inpainting_tpu.infer.resynth import Resynthesizer
+from speech_inpainting_tpu.models.codegen import (CodeGenerator,
+                                                  CodeGeneratorConfig,
+                                                  FoVQVAEConfig)
+from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+from speech_inpainting_tpu.models.hubert import HubertConfig
+from speech_inpainting_tpu.models.jukebox import ConvStackConfig
+
+STACK = ConvStackConfig(input_emb_width=1, output_emb_width=16, levels=1,
+                        downs_t=(2,), strides_t=(2,), width=8, depth=2,
+                        dilation_growth_rate=3)
+F0Q = FoVQVAEConfig(encoder=STACK, decoder=STACK, l_bins=6, emb_width=16)
+CCFG = CodeGeneratorConfig(
+    hifigan=HiFiGANConfig(upsample_rates=(5, 4, 4, 2, 2),
+                          upsample_kernel_sizes=(11, 8, 8, 4, 4),
+                          upsample_initial_channel=64,
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3),),
+                          in_dim=48, sampling_rate=16000),
+    num_embeddings=10, embedding_dim=16, f0_quantizer=F0Q)
+HCFG = HubertConfig(conv_dim=(8,) * 7, hidden_size=16, num_hidden_layers=1,
+                    num_attention_heads=2, intermediate_size=24,
+                    num_conv_pos_embeddings=15,
+                    num_conv_pos_embedding_groups=1)
+
+
+def make_codegen(rng):
+    m = CodeGenerator(CCFG)
+    code = jnp.asarray(rng.integers(0, 10, (1, 8)))
+    f0 = jnp.zeros((1, 1, 32))
+    emb = jnp.zeros((1, 16))
+    v = m.init({"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+               code, f0=f0, emb=emb)
+    return v["params"], v["vq"]
+
+
+def test_resynthesizer_rtf(rng):
+    params, vq = make_codegen(rng)
+    r = Resynthesizer(CCFG, params, vq)
+    code = rng.integers(0, 10, (1, 16))
+    f0 = rng.standard_normal((1, 1, 64)).astype(np.float32)
+    emb = rng.standard_normal((1, 16)).astype(np.float32)
+    wav, rtf = r(code, f0=f0, emb=emb)
+    assert wav.shape == (1, 16 * 320)
+    assert rtf > 0 and np.isfinite(wav).all()
+
+
+def test_voice_convert_renorms_f0(rng):
+    params, vq = make_codegen(rng)
+    r = Resynthesizer(CCFG, params, vq)
+    f0 = np.where(rng.random((1, 1, 64)) > 0.5,
+                  rng.standard_normal((1, 1, 64)), 0.0).astype(np.float32)
+    item = dict(code=rng.integers(0, 10, (1, 16)), f0=f0,
+                emb=rng.standard_normal((1, 16)).astype(np.float32),
+                spkr=np.array([[0]]))
+    stats = {0: {"f0_mean": 150.0, "f0_std": 20.0},
+             1: {"f0_mean": 220.0, "f0_std": 30.0}}
+    wav, rtf = r.voice_convert(item, 1, stats)
+    assert wav.shape == (1, 16 * 320) and np.isfinite(wav).all()
+
+
+def make_inpainter(rng):
+    params, vq = make_codegen(rng)
+    hub = __import__("speech_inpainting_tpu.models.hubert",
+                     fromlist=["HubertModel"]).HubertModel(HCFG)
+    hp = hub.init(jax.random.PRNGKey(2), jnp.zeros((1, 3200)))["params"]
+    centroids = rng.standard_normal((10, 16)).astype(np.float32)
+    return IdaInpainter(CCFG, params, vq, HCFG, hp, centroids)
+
+
+def test_ida_inpainting_outputs_and_splice(rng):
+    inp = make_inpainter(rng)
+    sr = 16000
+    t = np.arange(int(sr * 3.2)) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 160 * t)).astype(np.float32)
+    emb = np.zeros(16, np.float32)
+    out = inp(audio, mask_size=3200, emb=emb)         # 200 ms @ 1.5 s
+    n = len(out["audio_gen"])
+    assert n % 1280 == 0                              # 16*80 trim
+    assert len(out["audio_gt"]) == len(out["audio_mask"]) == \
+        len(out["audio_inpainted"]) == n
+    for k in ("audio_gt", "audio_mask", "audio_gen", "audio_inpainted"):
+        assert np.isfinite(out[k]).all()
+        assert np.abs(out[k]).max() <= 1.0 + 1e-5     # inf-normalized
+    # masked audio really is zeroed (plus the reference's +1e-6 offset)
+    start = int(sr * 1.5)
+    seg = out["audio_mask"][start + 10:start + 3000]
+    assert np.abs(seg).max() < 1e-4
+    # informed splice: outside-mask units equal the clean stream
+    hop = 320
+    c, ci = out["code_clean"][:len(out["code_inpainted"])], \
+        out["code_inpainted"]
+    np.testing.assert_array_equal(ci[:start // hop], c[:start // hop])
+    np.testing.assert_array_equal(ci[(start + 3200) // hop:],
+                                  c[(start + 3200) // hop:len(ci)])
+    assert out["rtf"] > 0
+
+
+def test_ida_inpainting_no_retrace_across_masks(rng):
+    inp = make_inpainter(rng)
+    audio = (np.random.default_rng(0).standard_normal(int(16000 * 3.2))
+             * 0.1).astype(np.float32)
+    emb = np.zeros(16, np.float32)
+    inp(audio, mask_size=1600, emb=emb)
+    n = inp._graph._cache_size()
+    inp(audio, mask_size=6400, emb=emb)
+    inp(audio, mask_size=3200, mask_start=8000, emb=emb)
+    assert inp._graph._cache_size() == n
