@@ -1,0 +1,106 @@
+"""Utils tests: checkpoint save/scan/restore (incl. GAN pair + partial
+restore) and the typed config tree."""
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_inpainting_tpu.utils.checkpoints import (Checkpointer,
+                                                     checkpoint_step,
+                                                     restore_gan_checkpoint,
+                                                     save_gan_checkpoint,
+                                                     scan_checkpoint)
+from speech_inpainting_tpu.utils.config import (build, load_config, merge,
+                                                save_config, to_dict)
+
+
+def test_scan_checkpoint(tmp_path):
+    assert scan_checkpoint(tmp_path, "g_") is None
+    for s in (100, 2500, 900):
+        (tmp_path / f"g_{s:08d}").mkdir()
+    (tmp_path / "do_00009999").mkdir()
+    best = scan_checkpoint(tmp_path, "g_")
+    assert best.endswith("g_00002500")
+    assert checkpoint_step(best) == 2500
+
+
+def test_checkpointer_roundtrip(tmp_path, rng):
+    ckpt = Checkpointer(tmp_path)
+    tree = {"a": rng.standard_normal((3, 4)).astype(np.float32),
+            "b": {"c": np.arange(5)}}
+    ckpt.save("g_", 42, tree, wait=True)
+    template = jax.tree_util.tree_map(np.zeros_like, tree)
+    out = ckpt.restore("g_", template)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    np.testing.assert_array_equal(out["b"]["c"], tree["b"]["c"])
+    assert ckpt.restore("nope_", template) is None
+
+
+def test_gan_checkpoint_pair_and_partial_restore(tmp_path, rng):
+    from speech_inpainting_tpu.train.gan import GANTrainState
+
+    def leaf():
+        return rng.standard_normal((2, 2)).astype(np.float32)
+
+    state = GANTrainState(
+        step=jnp.asarray(7), g_params={"w": leaf()},
+        d_params={"mpd": {"w": leaf()}, "msd": {"w": leaf()}},
+        spectral={"u": leaf()}, g_opt={"m": leaf()}, d_opt={"m": leaf()})
+    ckpt = Checkpointer(tmp_path)
+    save_gan_checkpoint(ckpt, state, 7, wait=True)
+
+    blank = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, had_g, had_do = restore_gan_checkpoint(ckpt, blank)
+    assert had_g and had_do
+    np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
+                                  np.asarray(state.g_params["w"]))
+    np.testing.assert_array_equal(np.asarray(restored.d_params["msd"]["w"]),
+                                  np.asarray(state.d_params["msd"]["w"]))
+    assert int(restored.step) == 7
+
+    # generator-only warm start (train_modified.py partial restore)
+    ckpt2 = Checkpointer(tmp_path / "gonly")
+    ckpt2.save("g_", 3, {"generator": state.g_params}, wait=True)
+    restored2, had_g2, had_do2 = restore_gan_checkpoint(ckpt2, blank)
+    assert had_g2 and not had_do2
+    np.testing.assert_array_equal(np.asarray(restored2.g_params["w"]),
+                                  np.asarray(state.g_params["w"]))
+    assert int(restored2.step) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Inner:
+    lr: float = 1e-4
+    sizes: tuple = (1, 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class Outer:
+    name: str = "x"
+    inner: Inner = Inner()
+    n: int = 3
+
+
+def test_config_build_merge_precedence(tmp_path):
+    cfg = build(Outer, {"name": "y", "inner": {"lr": 2e-3}})
+    assert cfg.name == "y" and cfg.inner.lr == 2e-3 and cfg.inner.sizes == (1, 2)
+
+    f1 = tmp_path / "a.json"
+    f1.write_text(json.dumps({"n": 5, "inner": {"sizes": [4, 5, 6]}}))
+    f2 = tmp_path / "b.yaml"
+    f2.write_text("inner:\n  lr: 0.5\n")
+    cfg = load_config(Outer, f1, f2, overrides={"name": "z"})
+    assert cfg.n == 5 and cfg.inner.sizes == (4, 5, 6)
+    assert cfg.inner.lr == 0.5 and cfg.name == "z"   # later sources win
+
+    with pytest.raises(KeyError):
+        merge(Outer, cfg, {"bogus": 1})
+
+    out = tmp_path / "resolved.json"
+    save_config(cfg, out)
+    assert json.loads(out.read_text())["inner"]["lr"] == 0.5
+    assert to_dict(cfg)["n"] == 5
