@@ -1,0 +1,147 @@
+"""Data preparation CLI: resample/trim/pad, manifests, unit quantization,
+f0 statistics, VCTK/LJSpeech split generation.
+
+Replaces the reference's offline scripts (I_da/scripts/{preprocess,
+create_manifest,quantize_with_kmeans,parse_hubert_codes,f0_stats}.py and the
+split logic of I_ea/dataset/preprocessing.py — download steps excluded: this
+environment has no network egress; point --root at an existing corpus).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_preprocess(args):
+    """resample → trim silence (top_db 20) → pad to ×1280 (preprocess.py)."""
+    from ..data.audio import load_wav, pad_to_multiple, save_wav, trim_silence
+    os.makedirs(args.out, exist_ok=True)
+    for p in sorted(Path(args.root).rglob("*.wav")):
+        wav, _ = load_wav(p, target_sr=args.sr)
+        wav = pad_to_multiple(trim_silence(wav, top_db=args.top_db), 1280)
+        save_wav(Path(args.out) / p.name, wav, args.sr)
+    print(f"preprocessed -> {args.out}")
+
+
+def cmd_manifest(args):
+    from ..data.manifests import create_tsv_manifest
+    create_tsv_manifest(args.root, args.dest, ext=args.ext,
+                        valid_percent=args.valid_percent, seed=args.seed)
+    print(f"manifest -> {args.dest}")
+
+
+def cmd_quantize(args):
+    """HuBERT features → k-means units file (quantize_with_kmeans.py)."""
+    import jax.numpy as jnp
+    from ..convert.hubert_torch import load_hf_pretrained
+    from ..data.audio import load_wav
+    from ..data.manifests import read_tsv_manifest, write_units_file
+    from ..models.hubert import HubertModel
+    from ..quantize.kmeans import KMeans
+    km = (KMeans.load_joblib(args.kmeans)
+          if args.kmeans.endswith((".km", ".bin"))
+          else KMeans.load(args.kmeans))
+    hcfg, hp = load_hf_pretrained(args.hubert)
+    model = HubertModel(hcfg)
+    import jax
+    feats_fn = jax.jit(lambda w: model.apply({"params": hp}, w,
+                                             tap_layer=args.layer))
+    root, rows = read_tsv_manifest(args.manifest)
+    entries = []
+    for rel, _ in rows:
+        wav, _ = load_wav(root / rel, target_sr=16000)
+        pad = (-len(wav)) % 16000
+        feats = feats_fn(jnp.asarray(np.pad(wav, (0, pad)))[None])[0]
+        n = (len(wav) - 400) // 320 + 1
+        units = np.asarray(km(feats[:n]))
+        entries.append((Path(rel).stem, units))
+    write_units_file(args.out, entries)
+    print(f"units -> {args.out}")
+
+
+def cmd_parse_codes(args):
+    """tsv + units → JSON-lines manifests with split (parse_hubert_codes)."""
+    from ..data.manifests import join_tsv_units, random_split, write_manifest
+    entries = join_tsv_units(args.manifest, args.units, dedup=args.dedup)
+    train, valid, test = random_split(entries,
+                                      valid_percent=args.valid_percent,
+                                      test_percent=args.test_percent,
+                                      seed=args.seed)
+    os.makedirs(args.outdir, exist_ok=True)
+    for name, part in (("train", train), ("val", valid), ("test", test)):
+        write_manifest(Path(args.outdir) / f"{name}.txt", part)
+    print(f"{len(train)}/{len(valid)}/{len(test)} -> {args.outdir}")
+
+
+def cmd_f0_stats(args):
+    """Per-speaker f0 mean/std (scripts/f0_stats.py) via the on-device
+    tracker."""
+    from ..data.audio import load_wav
+    from ..data.manifests import parse_manifest, parse_speaker
+    from ..data.code_dataset import _extract_f0_bucketed
+    from ..ops.f0 import F0Config, f0_statistics
+    files, _ = parse_manifest(args.manifest)
+    per_spk = {}
+    for f in files:
+        spk = parse_speaker(f, args.speaker_method)
+        wav, _ = load_wav(f, target_sr=16000)
+        per_spk.setdefault(spk, []).append(
+            _extract_f0_bucketed(wav, F0Config()))
+    spk_names = sorted(per_spk)
+    stats = {i: f0_statistics(per_spk[s]) for i, s in enumerate(spk_names)}
+    out = {"speakers": spk_names,
+           "stats": {str(k): v for k, v in stats.items()}}
+    Path(args.out).write_text(json.dumps(out, indent=2))
+    print(f"f0 stats for {len(spk_names)} speakers -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("preprocess")
+    s.add_argument("--root", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--sr", type=int, default=16000)
+    s.add_argument("--top-db", type=float, default=20.0)
+
+    s = sub.add_parser("manifest")
+    s.add_argument("--root", required=True)
+    s.add_argument("--dest", required=True)
+    s.add_argument("--ext", default="wav")
+    s.add_argument("--valid-percent", type=float, default=0.0)
+    s.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("quantize")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--hubert", required=True)
+    s.add_argument("--layer", type=int, default=6)
+    s.add_argument("--kmeans", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("parse-codes")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--units", required=True)
+    s.add_argument("--outdir", required=True)
+    s.add_argument("--dedup", action="store_true")
+    s.add_argument("--valid-percent", type=float, default=0.05)
+    s.add_argument("--test-percent", type=float, default=0.05)
+    s.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("f0-stats")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--speaker-method", default="_")
+    s.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    {"preprocess": cmd_preprocess, "manifest": cmd_manifest,
+     "quantize": cmd_quantize, "parse-codes": cmd_parse_codes,
+     "f0-stats": cmd_f0_stats}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""HiFi-GAN training CLI: vanilla vocoder or the centroid-substitution
+decoder fine-tune ("modified").
+
+Replaces I_ea/hifi_gan/train.py and train_modified.py. Data parallelism is a
+--mesh flag (SPMD over all visible devices) instead of DDP/mp.spawn.
+
+  python -m speech_inpainting_tpu.cli.train_hifigan \
+      --wavs DIR [--filelist F] --checkpoint-path ckpt/ \
+      [--modified --kmeans model.npy --mask-len 20 --segment-size 44288]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.audio import load_wav, peak_normalize
+from ..models.hifigan import (Generator, HiFiGANConfig,
+                              MultiPeriodDiscriminator,
+                              MultiScaleDiscriminator)
+from ..quantize.kmeans import KMeans
+from ..train.gan import GANConfig, create_gan_state
+from ..train.hifigan import (HiFiGANTrainConfig, make_modified_step,
+                             make_vanilla_step)
+from ..train.run import RunConfig, run_gan_training
+from ..ops.mel import MODIFIED_MEL_22K
+
+
+class CropDataset:
+    """Random fixed-length crops of normalized wavs (MelDataset's audio
+    handling: /32768 + inf-norm ×0.95 + random segment,
+    meldataset.py:113-141). Short utterances are zero-padded."""
+
+    def __init__(self, paths, segment_size: int, sr: int = 22050,
+                 normalize: bool = True):
+        self.segment_size = segment_size
+        self.wavs = []
+        for p in paths:
+            wav, _ = load_wav(p, target_sr=sr)
+            if normalize:
+                wav = peak_normalize(wav, 0.95)
+            self.wavs.append(wav.astype(np.float32))
+
+    def batches(self, batch_size: int, *, epoch: int, seed: int = 1234,
+                n441_mask_limit: int = 0):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        order = rng.permutation(len(self.wavs))
+        seg = self.segment_size
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            crops, starts = [], []
+            for i in order[s:s + batch_size]:
+                w = self.wavs[i]
+                if len(w) >= seg:
+                    a = int(rng.integers(0, len(w) - seg + 1))
+                    crops.append(w[a:a + seg])
+                else:
+                    crops.append(np.pad(w, (0, seg - len(w))))
+                if n441_mask_limit > 0:
+                    starts.append(int(rng.integers(0, n441_mask_limit)))
+            batch = {"audio": np.stack(crops)[:, None, :]}
+            if starts:
+                batch["mask_start"] = np.asarray(starts, np.int32)
+            yield batch
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wavs", required=True)
+    p.add_argument("--filelist", default=None)
+    p.add_argument("--config", default=None, help="hifi-gan json config")
+    p.add_argument("--checkpoint-path", required=True)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--segment-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--modified", action="store_true")
+    p.add_argument("--kmeans", default=None)
+    p.add_argument("--mask-len", type=int, default=20)
+    p.add_argument("--warm-start", default=None,
+                   help="torch g_* checkpoint (e.g. UNIVERSAL_V1) to import")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard batches over all devices (SPMD data parallel)")
+    p.add_argument("--seed", type=int, default=1234)
+    args = p.parse_args(argv)
+
+    h = json.loads(Path(args.config).read_text()) if args.config else {}
+    gcfg = HiFiGANConfig.from_dict(h) if h else HiFiGANConfig()
+    seg = args.segment_size or h.get("segment_size",
+                                     44288 if args.modified else 8192)
+    tcfg = HiFiGANTrainConfig(
+        gan=GANConfig(learning_rate=h.get("learning_rate", 2e-4),
+                      adam_b1=h.get("adam_b1", 0.8),
+                      adam_b2=h.get("adam_b2", 0.99),
+                      lr_decay=h.get("lr_decay", 0.999)),
+        hifigan=gcfg, segment_size=seg, mask_len=args.mask_len)
+
+    if args.filelist:
+        names = [l.strip().split("|")[0] for l in
+                 Path(args.filelist).read_text().splitlines() if l.strip()]
+        paths = [Path(args.wavs) / f"{n}.wav" for n in names]
+    else:
+        paths = sorted(Path(args.wavs).glob("*.wav"))
+    ds = CropDataset(paths, seg)
+
+    if args.modified:
+        assert args.kmeans, "--modified requires --kmeans"
+        km = (KMeans.load_joblib(args.kmeans)
+              if args.kmeans.endswith((".km", ".bin"))
+              else KMeans.load(args.kmeans))
+        step = make_modified_step(tcfg, km.centroids)
+        n441 = max(1, MODIFIED_MEL_22K.num_frames(seg) - args.mask_len)
+    else:
+        step = make_vanilla_step(tcfg)
+        n441 = 0
+
+    rng = jax.random.PRNGKey(args.seed)
+    gen = Generator(gcfg)
+    n_in = tcfg.mel_input.num_frames(seg)
+    gp = gen.init(rng, jnp.zeros((1, gcfg.in_dim, n_in)))["params"]
+    if args.warm_start:
+        from ..convert.hifigan_torch import load_generator_checkpoint
+        gp = load_generator_checkpoint(args.warm_start, gcfg)
+        print(f"warm-started generator from {args.warm_start}")
+    x = jnp.zeros((1, 1, seg))
+    mpd = MultiPeriodDiscriminator().init(jax.random.PRNGKey(1), x, x)["params"]
+    msdv = MultiScaleDiscriminator().init(
+        {"params": jax.random.PRNGKey(2)}, x, x, True)
+    state = create_gan_state(tcfg.gan, gp, mpd, msdv["params"],
+                             msdv["spectral"])
+
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+    run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
+                    log_dir=args.log_dir, mesh=mesh)
+    run_gan_training(step, state,
+                     lambda epoch: ds.batches(args.batch_size, epoch=epoch,
+                                              seed=args.seed,
+                                              n441_mask_limit=n441),
+                     run)
+
+
+if __name__ == "__main__":
+    main()

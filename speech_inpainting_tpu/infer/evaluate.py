@@ -1,0 +1,121 @@
+"""Mask-sweep evaluation harness: the reference's mask_pos_len protocol +
+batched objective scoring.
+
+Behavior matched (code new):
+  - fixture: per wav × mask length (ms) → N random mask positions in samples
+    within [0, len−ms·16] (I_ea/mask_pos_len.py:12-40; default lengths
+    {20,40,60,80,100,200,300,400} ms × 20 positions, predict.yaml:5)
+  - evaluation: inpaint each (wav, mask) and score STOI/ESTOI, SI-SDR, and
+    log-spectral distances (I_ea/metrics.py usage; the notebook's eval cell)
+
+TPU design: all positions of one (wav, mask length) run as ONE batch through
+the InformedInpainter (positions are traced scalars — a single compiled graph
+per wav length serves the whole sweep).
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..metrics.objective import log_spectral_d2, log_spectral_rmse, si_sdr
+from ..metrics.stoi import stoi
+from ..ops.mel import HUBERT_ALIGNED_MEL_22K, mel_spectrogram
+
+DEFAULT_MASK_LENGTHS_MS = (20, 40, 60, 80, 100, 200, 300, 400)
+
+
+def build_mask_sweep(wav_lengths: Dict[str, int],
+                     mask_lengths_ms: Sequence[int] = DEFAULT_MASK_LENGTHS_MS,
+                     *, n_positions: int = 20, seed: int = 1234
+                     ) -> Dict[str, Dict[int, List[int]]]:
+    """{wav_name: {mask_ms: [sample positions]}} (16 kHz sample scale)."""
+    rng = np.random.default_rng(seed)
+    sweep: Dict[str, Dict[int, List[int]]] = {}
+    for name, length in wav_lengths.items():
+        per_len = {}
+        for ms in mask_lengths_ms:
+            hi = max(1, length - ms * 16)
+            per_len[int(ms)] = [int(p) for p in rng.integers(0, hi,
+                                                             n_positions)]
+        sweep[name] = per_len
+    return sweep
+
+
+def save_mask_sweep(sweep, path):
+    with open(path, "w") as f:
+        json.dump(sweep, f, indent=2)
+
+
+def load_mask_sweep(path):
+    with open(path) as f:
+        raw = json.load(f)
+    return {name: {int(ms): pos for ms, pos in d.items()}
+            for name, d in raw.items()}
+
+
+def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
+                        positions_samples: Sequence[int], mask_ms: int,
+                        *, whisper=None, target_text: Optional[str] = None
+                        ) -> Dict[str, float]:
+    """Score one wav × one mask length over all positions (one device batch).
+
+    Metrics are computed between the inpainted output and the clean 22 kHz
+    waveform (trimmed to the generator's output grid). Returns means over
+    positions (+ WER/CER when a WhisperScorer and target text are given).
+    """
+    n = len(positions_samples)
+    mask_len_frames = mask_ms // 20
+    mask_pos = np.asarray([p // 320 for p in positions_samples], np.int32)
+
+    out = inpainter.batch(np.tile(wav22[None], (n, 1)),
+                          np.tile(wav16[None], (n, 1)),
+                          mask_pos, np.full(n, mask_len_frames, np.int32))
+    inpainted = np.asarray(out["inpainted"])            # (n, T_out)
+    t_out = inpainted.shape[-1]
+    ref = wav22[:t_out]
+    ref_mel = np.asarray(mel_spectrogram(ref, HUBERT_ALIGNED_MEL_22K))
+
+    scores = {"stoi": [], "estoi": [], "si_sdr": [], "lsd_d2": [],
+              "lsd_rmse": [], "wer": [], "cer": []}
+    for i in range(n):
+        est = inpainted[i]
+        scores["stoi"].append(stoi(ref, est, 22050))
+        scores["estoi"].append(stoi(ref, est, 22050, extended=True))
+        scores["si_sdr"].append(si_sdr(est, ref))
+        est_mel = np.asarray(mel_spectrogram(est, HUBERT_ALIGNED_MEL_22K))
+        m = min(ref_mel.shape[-1], est_mel.shape[-1])
+        scores["lsd_d2"].append(log_spectral_d2(ref_mel[:, :m].T,
+                                                est_mel[:, :m].T))
+        scores["lsd_rmse"].append(log_spectral_rmse(ref_mel[:, :m].T,
+                                                    est_mel[:, :m].T))
+        if whisper is not None and target_text:
+            w, c, _ = whisper.wer_cer(est, 22050, target_text)
+            scores["wer"].append(w)
+            scores["cer"].append(c)
+    return {k: float(np.mean(v)) for k, v in scores.items() if v}
+
+
+def evaluate_sweep(inpainter, wavs22: Dict[str, np.ndarray],
+                   wavs16: Dict[str, np.ndarray], sweep: Dict,
+                   *, whisper=None, texts: Optional[Dict[str, str]] = None
+                   ) -> Dict:
+    """Full protocol: every wav × mask length × position. Returns
+    {wav: {mask_ms: metrics}} plus 'mean' aggregates per mask length."""
+    results: Dict = {}
+    for name, per_len in sweep.items():
+        results[name] = {}
+        for ms, positions in per_len.items():
+            results[name][ms] = evaluate_inpainting(
+                inpainter, wavs22[name], wavs16[name], positions, ms,
+                whisper=whisper,
+                target_text=(texts or {}).get(name))
+    agg: Dict[int, Dict[str, float]] = {}
+    for name, per_len in results.items():
+        for ms, metrics in per_len.items():
+            for k, v in metrics.items():
+                agg.setdefault(ms, {}).setdefault(k, []).append(v)
+    results["mean"] = {ms: {k: float(np.mean(v)) for k, v in d.items()}
+                       for ms, d in agg.items()}
+    return results

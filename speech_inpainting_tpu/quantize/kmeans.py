@@ -135,11 +135,12 @@ def fit_kmeans(x, k: int, *, iters: int = 50, seed: int = 1234,
     # compiles a full sort over n — ~30s for 200k rows)
     sub = x if n <= init_sample else x[np.random.default_rng(seed).choice(
         n, init_sample, replace=False)]
-    pad = (-n) % chunk
-    if pad:
+    chunk = min(chunk, n)
+    target = -(-n // chunk) * chunk
+    if target != n:
         # weight-0 padding would complicate the segment sums; instead repeat
-        # rows (repeats only bias counts, not the argmin structure)
-        x = jnp.concatenate([x, x[:pad]], axis=0)
+        # rows modulo n (repeats only bias counts, not the argmin structure)
+        x = x[jnp.arange(target) % n]
     # n_init restarts (sklearn-style): keep the lowest-inertia run.
     # Restarts reuse the jit caches, so only the first pays compilation.
     best = (None, np.inf)

@@ -1,0 +1,106 @@
+"""Training loop runners: epochs × batches around the jitted steps, with
+logging, validation, and checkpoint/resume.
+
+These mirror the reference's loop scaffolding (I_ea/main.py:144-273,
+I_ea/hifi_gan/train.py:120-261, I_da/scripts/train.py:236-420 — code new):
+periodic stdout/TB logging, interval validation, best-metric and paired
+g_/do_ checkpointing, auto-resume from the newest checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..data.pipeline import device_prefetch
+from ..utils.checkpoints import (Checkpointer, restore_gan_checkpoint,
+                                 save_gan_checkpoint)
+from ..utils.logging import TrainLogger
+
+
+@dataclasses.dataclass
+class RunConfig:
+    epochs: int = 100
+    checkpoint_dir: str = "checkpoints"
+    log_dir: Optional[str] = None
+    stdout_interval: int = 5
+    summary_interval: int = 100
+    checkpoint_interval: int = 5000
+    validation_interval: int = 1000
+    training_steps: Optional[int] = None   # hard step cap (I_da h.training_steps)
+    mesh: Optional[object] = None          # jax Mesh for dp sharding
+
+
+def run_gan_training(step_fn: Callable, state, make_batches: Callable,
+                     run: RunConfig, *, valid_fn: Optional[Callable] = None):
+    """Drive a GAN train state: step_fn(state, batch), make_batches(epoch) →
+    iterable of host batches. Returns the final state."""
+    ckpt = Checkpointer(run.checkpoint_dir)
+    state, had_g, had_do = restore_gan_checkpoint(ckpt, state)
+    if had_g or had_do:
+        print(f"resumed from step {int(state.step)}")
+    logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
+                         summary_interval=run.summary_interval)
+    jstep = jax.jit(step_fn)
+    steps = int(state.step)
+    for epoch in range(run.epochs):
+        for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+            state, metrics = jstep(state, batch)
+            steps += 1
+            logger.step(steps, {k: v for k, v in metrics.items()
+                                if np.ndim(v) == 0})
+            if steps % run.checkpoint_interval == 0:
+                save_gan_checkpoint(ckpt, state, steps)
+            if valid_fn is not None and steps % run.validation_interval == 0:
+                val = valid_fn(state)
+                for k, v in val.items():
+                    logger.scalar(f"validation/{k}", v, steps)
+            if run.training_steps and steps >= run.training_steps:
+                break
+        else:
+            continue
+        break
+    save_gan_checkpoint(ckpt, state, steps, wait=True)
+    logger.close()
+    return state
+
+
+def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
+                    make_batches: Callable, make_valid_batches: Callable,
+                    run: RunConfig):
+    """I_ea loop: validation sweep every `validation_interval` batches with
+    best-cosine-accuracy model selection (main.py:209-265)."""
+    ckpt = Checkpointer(run.checkpoint_dir)
+    logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
+                         summary_interval=run.summary_interval)
+    jstep = jax.jit(step_fn)
+    best_acc = -np.inf
+    steps = int(state.step)
+    for epoch in range(run.epochs):
+        for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+            state, metrics = jstep(state, batch)
+            steps += 1
+            logger.step(steps, {k: v for k, v in metrics.items()
+                                if np.ndim(v) == 0})
+            if steps % run.validation_interval == 0:
+                vals = [eval_fn(state.params, vb)
+                        for vb in make_valid_batches(epoch)]
+                if vals:
+                    mean = {k: float(np.mean([float(v[k]) for v in vals]))
+                            for k in vals[0]}
+                    for k, v in mean.items():
+                        logger.scalar(f"validation/{k}", v, steps)
+                    if mean.get("cos_sim_acc", -np.inf) > best_acc:
+                        best_acc = mean["cos_sim_acc"]
+                        ckpt.save("best_", 0, {"model": state.params})
+            if run.training_steps and steps >= run.training_steps:
+                break
+        else:
+            ckpt.save("last_", 0, {"model": state.params})
+            continue
+        break
+    ckpt.save("last_", 0, {"model": state.params}, wait=True)
+    logger.close()
+    return state

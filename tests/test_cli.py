@@ -1,0 +1,93 @@
+"""CLI smoke tests on tiny synthetic data: kmeans dump/fit/label pipeline,
+prep tools (preprocess/manifest/parse-codes/f0-stats), and the mask-sweep
+evaluation fixture."""
+import json
+from pathlib import Path
+
+import numpy as np
+
+from speech_inpainting_tpu.cli import kmeans_cli, prep
+from speech_inpainting_tpu.data import audio as A
+from speech_inpainting_tpu.infer.evaluate import (build_mask_sweep,
+                                                  load_mask_sweep,
+                                                  save_mask_sweep)
+
+
+def make_corpus(tmp_path, rng, n=3, sr=22050, seconds=0.6):
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    for i in range(n):
+        t = np.arange(int(sr * seconds)) / sr
+        w = 0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+        A.save_wav(wavs / f"p{i}_u.wav", w.astype(np.float32), sr)
+    return wavs
+
+
+def test_kmeans_cli_pipeline(tmp_path, rng):
+    wavs = make_corpus(tmp_path, rng)
+    feat_dir = tmp_path / "feats"
+    kmeans_cli.main(["dump", "--wavs", str(wavs), "--out", str(feat_dir)])
+    flat = np.load(feat_dir / "train_valid.npy")
+    assert flat.ndim == 2 and flat.shape[1] == 80
+
+    model = tmp_path / "model.npy"
+    kmeans_cli.main(["fit", "--features", str(feat_dir / "train_valid.npy"),
+                     "--k", "5", "--iters", "5", "--n-init", "1",
+                     "--out", str(model)])
+    C = np.load(model)
+    assert C.shape == (5, 80)
+
+    lab_dir = tmp_path / "labels"
+    kmeans_cli.main(["label", "--wavs", str(wavs), "--model", str(model),
+                     "--out", str(lab_dir)])
+    labels = np.load(lab_dir / "p0_u_labels.npy")
+    mel = np.load(feat_dir / "p0_u_mel.npy")
+    assert labels.shape == (mel.shape[1],)
+    assert labels.max() < 5
+
+
+def test_prep_preprocess_and_manifest(tmp_path, rng):
+    wavs = make_corpus(tmp_path, rng, sr=22050)
+    out = tmp_path / "prep16k"
+    prep.main(["preprocess", "--root", str(wavs), "--out", str(out),
+               "--sr", "16000"])
+    files = sorted(out.glob("*.wav"))
+    assert len(files) == 3
+    for f in files:
+        sr, n = A.wav_info(f)
+        assert sr == 16000 and n % 1280 == 0
+
+    dest = tmp_path / "manifests"
+    prep.main(["manifest", "--root", str(out), "--dest", str(dest)])
+    assert (dest / "train.tsv").exists()
+
+    units = tmp_path / "units.txt"
+    lines = [f"p{i}_u|1 1 2 3" for i in range(3)]
+    units.write_text("\n".join(lines) + "\n")
+    prep.main(["parse-codes", "--manifest", str(dest / "train.tsv"),
+               "--units", str(units), "--outdir", str(tmp_path / "jl"),
+               "--dedup", "--valid-percent", "0.34",
+               "--test-percent", "0.0"])
+    train = (tmp_path / "jl" / "train.txt").read_text().strip().splitlines()
+    entry = json.loads(train[0])
+    assert entry["hubert"] == "1 2 3"                 # dedup applied
+
+    # f0-stats consumes JSON-lines/path manifests (not tsv)
+    stats_out2 = tmp_path / "f0_stats2.json"
+    prep.main(["f0-stats", "--manifest", str(tmp_path / "jl" / "train.txt"),
+               "--out", str(stats_out2)])
+    stats = json.loads(stats_out2.read_text())
+    assert len(stats["speakers"]) >= 1
+    assert all("f0_mean" in v for v in stats["stats"].values())
+
+
+def test_mask_sweep_fixture(tmp_path, rng):
+    sweep = build_mask_sweep({"a": 32000, "b": 48000},
+                             mask_lengths_ms=(100, 200), n_positions=5)
+    assert set(sweep["a"]) == {100, 200}
+    assert len(sweep["a"][100]) == 5
+    assert all(0 <= p <= 32000 - 100 * 16 for p in sweep["a"][100])
+    p = tmp_path / "sweep.json"
+    save_mask_sweep(sweep, p)
+    again = load_mask_sweep(p)
+    assert again["b"][200] == sweep["b"][200]
