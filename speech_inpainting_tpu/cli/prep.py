@@ -99,9 +99,70 @@ def cmd_f0_stats(args):
     print(f"f0 stats for {len(spk_names)} speakers -> {args.out}")
 
 
+def cmd_splits(args):
+    """Train/validation split generation (I_ea/dataset/preprocessing.py
+    regimes): VCTK-style 'speaker_textid' names split so that validation
+    holds unseen speakers, unseen texts, or both; speaker p315 excluded
+    (no transcripts in VCTK, the reference convention). LJSpeech uses the
+    plain ratio split."""
+    rng = np.random.default_rng(args.seed)
+    names = sorted(p.stem.replace("_mic1", "")
+                   for ext in ("wav", "flac")
+                   for p in Path(args.root).rglob(f"*.{ext}"))
+    names = [n for n in names if not n.startswith(args.exclude_speaker)]
+    os.makedirs(args.dest, exist_ok=True)
+
+    def write(train, valid):
+        Path(args.dest, "training.txt").write_text(
+            "\n".join(train) + "\n")
+        Path(args.dest, "validation.txt").write_text(
+            "\n".join(valid) + "\n")
+        print(f"{len(train)} train / {len(valid)} valid -> {args.dest}")
+
+    if args.regime == "ratio":                      # LJSpeech-style
+        order = rng.permutation(len(names))
+        cut = int(args.ratio * len(names))
+        write([names[i] for i in order[:cut]],
+              [names[i] for i in order[cut:]])
+        return
+    speakers = sorted({n.split("_")[0] for n in names})
+    texts = sorted({n.split("_", 1)[1] for n in names if "_" in n})
+    spk_cut = int(args.ratio * len(speakers))
+    txt_cut = int(args.ratio * len(texts))
+    train_spk = set(np.array(speakers)[rng.permutation(len(speakers))
+                                       [:spk_cut]])
+    train_txt = set(np.array(texts)[rng.permutation(len(texts))[:txt_cut]])
+    train, valid = [], []
+    for n in names:
+        spk = n.split("_")[0]
+        txt = n.split("_", 1)[1] if "_" in n else ""
+        seen_spk = spk in train_spk
+        seen_txt = txt in train_txt
+        if args.regime == "speakers":
+            (train if seen_spk else valid).append(n)
+        elif args.regime == "texts":
+            (train if seen_txt else valid).append(n)
+        else:  # both: validation = unseen speaker AND unseen text;
+            #          train = seen speaker AND seen text; rest dropped
+            if seen_spk and seen_txt:
+                train.append(n)
+            elif not seen_spk and not seen_txt:
+                valid.append(n)
+    write(train, valid)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("splits")
+    s.add_argument("--root", required=True)
+    s.add_argument("--dest", required=True)
+    s.add_argument("--regime", default="ratio",
+                   choices=["ratio", "speakers", "texts", "both"])
+    s.add_argument("--ratio", type=float, default=0.9)
+    s.add_argument("--exclude-speaker", default="p315")
+    s.add_argument("--seed", type=int, default=1234)
 
     s = sub.add_parser("preprocess")
     s.add_argument("--root", required=True)
@@ -138,7 +199,7 @@ def main(argv=None):
     s.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
-    {"preprocess": cmd_preprocess, "manifest": cmd_manifest,
+    {"splits": cmd_splits, "preprocess": cmd_preprocess, "manifest": cmd_manifest,
      "quantize": cmd_quantize, "parse-codes": cmd_parse_codes,
      "f0-stats": cmd_f0_stats}[args.cmd](args)
 

@@ -84,9 +84,20 @@ class CodeGeneratorConfig:
     spk_embeddings: int = 200          # Embedding-table speaker path
     external_speaker_emb: bool = True  # d-vector `emb` input vs `spkr` ids
     f0_quantizer: Optional[FoVQVAEConfig] = None
+    # content-VQVAE regime (reference h.lambda_commit_code truthy,
+    # model.py:54-59): learn the content codebook jointly instead of the
+    # unit-embedding lookup
+    code_encoder: Optional[ConvStackConfig] = None
+    code_vq_bins: int = 100
+    code_vq_width: int = 128
+    code_vq_mu: float = 0.99
 
     @staticmethod
     def from_dict(h: dict) -> "CodeGeneratorConfig":
+        code_enc = None
+        if h.get("lambda_commit_code"):
+            code_enc = ConvStackConfig.from_dict(h["code_encoder_params"])
+        vq = h.get("code_vq_params") or {}
         return CodeGeneratorConfig(
             hifigan=HiFiGANConfig.from_dict(h),
             num_embeddings=h["num_embeddings"],
@@ -94,7 +105,11 @@ class CodeGeneratorConfig:
             multispkr=bool(h.get("multispkr")),
             use_f0=bool(h.get("f0_stats")),
             f0_quantizer=(FoVQVAEConfig.from_dict(h["f0_quantizer"])
-                          if h.get("f0_quantizer") else None))
+                          if h.get("f0_quantizer") else None),
+            code_encoder=code_enc,
+            code_vq_bins=vq.get("l_bins", 100),
+            code_vq_width=vq.get("emb_width", 128),
+            code_vq_mu=vq.get("mu", 0.99))
 
 
 def repeat_upsample(signal, max_frames: int):
@@ -120,7 +135,14 @@ class CodeGenerator(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.emb_c = Embed(cfg.num_embeddings, cfg.embedding_dim)
+        if cfg.code_encoder is not None:
+            # content-VQVAE regime (model.py:54-59): encoder + EMA-VQ replace
+            # the unit-embedding lookup
+            self.code_encoder = Encoder(cfg.code_encoder)
+            self.code_vq = Bottleneck(1, cfg.code_vq_bins, cfg.code_vq_width,
+                                      cfg.code_vq_mu)
+        else:
+            self.emb_c = Embed(cfg.num_embeddings, cfg.embedding_dim)
         if cfg.f0_quantizer is not None:
             self.fo_vqvae = FoVQVAE(cfg.f0_quantizer)
             self.emb_p = Embed(cfg.f0_quantizer.l_bins, cfg.embedding_dim)
@@ -128,12 +150,44 @@ class CodeGenerator(nn.Module):
             self.emb_s = Embed(cfg.spk_embeddings, cfg.embedding_dim)
         self.generator = Generator(cfg.hifigan)
 
-    def __call__(self, code, f0=None, emb=None, spkr=None):
-        """code (B, F) int; f0 (B, 1, Ff) float; emb (B, E) float d-vector or
-        spkr (B,)/(B,1) int ids. Returns (B, 1, T) waveform."""
+    def encode_codes(self, x):
+        """Waveform/features (B, C, T) → content units (B, frames) via the
+        learned content VQ (scripts/infer_vqvae_codes.py path)."""
+        hs = self.code_encoder(x)
+        return self.code_vq.encode(hs)[0]
+
+    def _content_vq(self, code, train: bool):
+        """Content-VQ forward (model.py:134-141): int inputs dequantize
+        through the codebook; continuous inputs run encoder + VQ and return
+        the commit loss."""
+        if jnp.issubdtype(code.dtype, jnp.integer):
+            blk = self.code_vq.level_blocks[0]
+            return blk.decode(code), None, {}
+        hs = self.code_encoder(code)
+        _, h_q, commits, metrics = self.code_vq(hs, train=train)
+        return h_q[0], commits[0], (metrics[0] if metrics else {})
+
+    def __call__(self, code, f0=None, emb=None, spkr=None,
+                 train: bool = False):
+        """code (B, F) int (or (B, C, T) float in the content-VQ regime);
+        f0 (B, 1, Ff) float; emb (B, E) float d-vector or spkr (B,)/(B,1)
+        int ids. Returns (B, 1, T) waveform — plus (commit_loss, metrics)
+        in the content-VQ regime, mirroring model.py:181-185."""
         cfg = self.cfg
-        emb_c = jnp.swapaxes(self.emb_c(code), 1, 2)      # (B, D, F)
+        commit = None
+        if cfg.code_encoder is not None:
+            emb_c, commit, vq_metrics = self._content_vq(code, train)
+        else:
+            emb_c = jnp.swapaxes(self.emb_c(code), 1, 2)  # (B, D, F)
         feats = emb_c
+        if cfg.code_encoder is not None:
+            # content-VQ regime returns early: concat any extra conditioning
+            # (e.g. a d-vector) and emit (wav, commit, metrics)
+            # (model.py:173-185; these configs run without f0/speaker paths)
+            if emb is not None:
+                feats = jnp.concatenate(
+                    [feats, repeat_upsample(emb, feats.shape[-1])], axis=1)
+            return self.generator(feats), commit, vq_metrics
         if cfg.use_f0:
             z_p = jax.lax.stop_gradient(self.fo_vqvae.encode_units(f0))
             emb_p = jnp.swapaxes(self.emb_p(z_p), 1, 2)   # (B, D, Fp)

@@ -50,26 +50,33 @@ def _mel_to_hz_slaney(mels):
 
 @functools.lru_cache(maxsize=16)
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float,
-                   fmax: float | None) -> np.ndarray:
-    """Slaney-scale, slaney-normalized triangular mel filterbank.
+                   fmax: float | None, htk: bool = False) -> np.ndarray:
+    """Triangular mel filterbank.
 
-    Equivalent to librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) with the
-    defaults htk=False, norm='slaney' used by every reference frontend.
+    htk=False: librosa.filters.mel defaults (slaney scale + slaney norm) —
+    every reference vocoder frontend. htk=True: HTK scale, no norm — the
+    torchaudio MelSpectrogram defaults used by the d-vector wav2mel frontend
+    (I_da/src/modules/wav2mel.py:143-149).
     Returns (n_mels, 1 + n_fft//2) float32.
     """
     if fmax is None:
         fmax = sr / 2.0
     n_freq = 1 + n_fft // 2
     fftfreqs = np.linspace(0.0, sr / 2.0, n_freq)
-    mel_pts = _mel_to_hz_slaney(
-        np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2))
+    if htk:
+        to_mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+        to_hz = lambda m: 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+    else:
+        to_mel, to_hz = _hz_to_mel_slaney, _mel_to_hz_slaney
+    mel_pts = to_hz(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
     fdiff = np.diff(mel_pts)
     ramps = mel_pts[:, None] - fftfreqs[None, :]
     lower = -ramps[:-2] / fdiff[:-1][:, None]
     upper = ramps[2:] / fdiff[1:][:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
-    enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
-    weights *= enorm[:, None]
+    if not htk:
+        enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
+        weights *= enorm[:, None]
     return weights.astype(np.float32)
 
 

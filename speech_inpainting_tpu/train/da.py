@@ -32,11 +32,19 @@ def make_da_step(cfg: DATrainConfig, vq_tree):
     convert_fo_vqvae / FoVQVAE training) — tiny, closed over as a constant.
     """
     codegen = CodeGenerator(cfg.codegen)
+    content_vq = cfg.codegen.code_encoder is not None
 
     def gen_fwd(g_params, batch):
-        return codegen.apply(
+        out = codegen.apply(
             {"params": g_params, "vq": vq_tree}, batch["code"],
             f0=batch.get("f0"), emb=batch.get("emb"), spkr=batch.get("spkr"))
+        if content_vq:
+            # (wav, commit, metrics): λ_commit trains the content encoder
+            # through the commit term; the EMA codebook itself is refreshed
+            # between epochs (offline re-estimation) rather than per-step
+            wav, commit, _ = out
+            return wav, commit
+        return out
 
     return make_gan_step(gen_fwd,
                          lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan)

@@ -91,3 +91,32 @@ def test_mask_sweep_fixture(tmp_path, rng):
     save_mask_sweep(sweep, p)
     again = load_mask_sweep(p)
     assert again["b"][200] == sweep["b"][200]
+
+
+def test_prep_splits_regimes(tmp_path, rng):
+    root = tmp_path / "vctk"
+    root.mkdir()
+    for spk in ("p225", "p226", "p227", "p315"):
+        for txt in ("001", "002", "003", "004"):
+            A.save_wav(root / f"{spk}_{txt}.wav",
+                       rng.standard_normal(800).astype(np.float32) * 0.1,
+                       16000)
+    dest = tmp_path / "splits"
+    prep.main(["splits", "--root", str(root), "--dest", str(dest),
+               "--regime", "speakers", "--ratio", "0.67"])
+    train = dest.joinpath("training.txt").read_text().split()
+    valid = dest.joinpath("validation.txt").read_text().split()
+    tr_spk = {n.split("_")[0] for n in train}
+    va_spk = {n.split("_")[0] for n in valid}
+    assert not (tr_spk & va_spk)                 # unseen speakers
+    assert "p315" not in tr_spk | va_spk         # excluded
+    assert len(train) + len(valid) == 12
+
+    prep.main(["splits", "--root", str(root), "--dest", str(dest),
+               "--regime", "both", "--ratio", "0.5"])
+    train = dest.joinpath("training.txt").read_text().split()
+    valid = dest.joinpath("validation.txt").read_text().split()
+    tr = {(n.split("_")[0], n.split("_", 1)[1]) for n in train}
+    va = {(n.split("_")[0], n.split("_", 1)[1]) for n in valid}
+    assert not ({s for s, _ in tr} & {s for s, _ in va})
+    assert not ({t for _, t in tr} & {t for _, t in va})

@@ -138,3 +138,39 @@ def test_repeat_upsample_semantics(rng):
     assert got2.shape == (2, 5, 8)
     with pytest.raises(NotImplementedError):
         repeat_upsample(jnp.asarray(x), 13)
+
+
+def test_content_vq_regime(rng):
+    """lambda_commit_code regime: encoder+VQ content path, int dequantize,
+    and unit extraction (model.py:134-141, infer_vqvae_codes)."""
+    import jax
+    import jax.numpy as jnp
+    hifi = HiFiGANConfig_tiny = __import__(
+        "speech_inpainting_tpu.models.hifigan",
+        fromlist=["HiFiGANConfig"]).HiFiGANConfig(
+        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), in_dim=16, sampling_rate=16000)
+    stack = ConvStackConfig(input_emb_width=1, output_emb_width=16, levels=1,
+                            downs_t=(2,), strides_t=(2,), width=8, depth=1,
+                            dilation_growth_rate=3)
+    cfg = CodeGeneratorConfig(hifigan=hifi, multispkr=False, use_f0=False,
+                              f0_quantizer=None, code_encoder=stack,
+                              code_vq_bins=6, code_vq_width=16)
+    m = CodeGenerator(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 1, 64)).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0), "vq": jax.random.PRNGKey(1)},
+               x, train=True)
+    wav, commit, metrics = m.apply(
+        {"params": v["params"], "vq": v["vq"]}, x, train=False)
+    assert wav.shape == (2, 1, 16 * 4)  # 64/4 encoder frames * 4 upsample
+    assert np.isfinite(float(commit))
+
+    units = m.apply({"params": v["params"], "vq": v["vq"]}, x,
+                    method=CodeGenerator.encode_codes)
+    assert units.shape == (2, 16) and int(units.max()) < 6
+
+    # int unit input dequantizes straight through the codebook
+    wav2, commit2, _ = m.apply({"params": v["params"], "vq": v["vq"]},
+                               jnp.asarray(units), train=False)
+    assert wav2.shape == wav.shape and commit2 is None
