@@ -39,7 +39,7 @@ def main():
     seconds = 4.0
     t22, t16 = int(22050 * seconds), int(16000 * seconds)
     w22, w16 = w22[:t22], w16[:t16]
-    B = 16
+    B = 64
     rng = np.random.default_rng(0)
     # decorrelate batch rows by circular shifts of the real utterance
     wav22 = np.stack([np.roll(w22, int(s)) for s in
@@ -50,8 +50,8 @@ def main():
     mask_len = 10  # 200 ms
     mask_pos = rng.integers(1, n_frames - mask_len - 1, B).astype(np.int32)
 
-    hcfg = HubertConfig.base()
-    gcfg = HiFiGANConfig()
+    hcfg = HubertConfig.base(dtype=jnp.bfloat16)
+    gcfg = HiFiGANConfig(dtype=jnp.bfloat16)
     hub = EncoderWithHead(hcfg, out_dim=80)
     hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
     gen = Generator(gcfg)
@@ -60,15 +60,23 @@ def main():
     inp = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
                             hp, gp, centroids)
 
-    lens = np.full(B, mask_len, np.int32)
-    out = inp.batch(wav22, wav16, mask_pos, lens)      # compile
-    jax.block_until_ready(out["inpainted"])
+    from speech_inpainting_tpu.utils.timing import force
 
+    # stage inputs on device once (the training/serving pipelines keep data
+    # device-resident / overlap H2D via prefetch; the tunnel's transfer
+    # bandwidth is not the metric here)
+    wav22 = jnp.asarray(wav22)
+    wav16 = jnp.asarray(wav16)
+    mask_pos = jnp.asarray(mask_pos)
+    force((wav22, wav16))
+    lens = jnp.full((B,), mask_len, jnp.int32)
+    out = force(inp.batch(wav22, wav16, mask_pos, lens))   # compile
+    # `force` reads output elements back — block_until_ready alone returns
+    # early on remote-execution backends and inflates throughput ~16x
     n_iter, best = 5, np.inf
     for _ in range(n_iter):
         t0 = time.perf_counter()
-        out = inp.batch(wav22, wav16, mask_pos, lens)
-        jax.block_until_ready(out["inpainted"])
+        out = force(inp.batch(wav22, wav16, mask_pos, lens))
         best = min(best, time.perf_counter() - t0)
 
     audio_sec = B * out["inpainted"].shape[-1] / 22050.0

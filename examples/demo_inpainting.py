@@ -91,13 +91,12 @@ def main():
     mask_pos = int(args.start_sec * 16000) // 320
     mask_len = args.mask_ms // 20
 
+    from speech_inpainting_tpu.utils.timing import force
     t0 = time.perf_counter()
-    out = inp(wav22, wav16, mask_pos, mask_len)
-    jax.block_until_ready(out["inpainted"])
+    out = force(inp(wav22, wav16, mask_pos, mask_len))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = inp(wav22, wav16, mask_pos, mask_len)
-    jax.block_until_ready(out["inpainted"])
+    out = force(inp(wav22, wav16, mask_pos, mask_len))
     steady = time.perf_counter() - t0
 
     outdir = Path(args.out)

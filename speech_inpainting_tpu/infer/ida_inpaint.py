@@ -123,12 +123,13 @@ class IdaInpainter:
             mask_start = int(sr * 3 / 2)               # reference fixed 1.5 s
         emb_a = None if emb is None else jnp.asarray(emb, jnp.float32)[None]
         spkr_a = None if spkr is None else jnp.asarray([[spkr]], jnp.int32)
+        from ..utils.timing import force
         t0 = time.perf_counter()
         out = self._graph(self._h_params, self._cg_params,
                           jnp.asarray(audio, jnp.float32),
                           jnp.asarray(mask_start, jnp.int32),
                           jnp.asarray(mask_size, jnp.int32), emb_a, spkr_a)
-        out = jax.block_until_ready(out)
+        out = force(out)
         wall = time.perf_counter() - t0
         out = {k: np.asarray(v) for k, v in out.items()}
         out["rtf"] = wall / (len(out["audio_gen"]) / sr)

@@ -37,13 +37,14 @@ class Resynthesizer:
         """code (B, F) [+ f0 (B,1,Ff), emb (B,E) | spkr (B,)] → (wav (B,T),
         rtf). RTF = wall seconds per generated audio second (the reference's
         `generate` meter)."""
+        from ..utils.timing import force
         code = jnp.asarray(code, jnp.int32)
         args = (self._params, code,
                 None if f0 is None else jnp.asarray(f0, jnp.float32),
                 None if emb is None else jnp.asarray(emb, jnp.float32),
                 None if spkr is None else jnp.asarray(spkr, jnp.int32))
         t0 = time.perf_counter()
-        wav = jax.block_until_ready(self._fwd(*args))
+        wav = force(self._fwd(*args))
         wall = time.perf_counter() - t0
         audio_sec = wav.shape[0] * wav.shape[-1] / self.cfg.hifigan.sampling_rate
         return np.asarray(wav), wall / audio_sec
