@@ -100,3 +100,29 @@ def test_stoi_resamples_other_rates(rng):
 def test_stoi_too_short_raises(rng):
     with pytest.raises(ValueError):
         stoi(np.zeros(100), np.zeros(100), 10000)
+
+
+def test_pesq_monotonic_and_calibrated(rng):
+    from speech_inpainting_tpu.metrics.pesq import pesq
+    from speech_inpainting_tpu.data.audio import load_wav
+    wav, sr = load_wav(
+        "/root/reference/I_ea/hifi_gan/test_files/LJ001-0001_16k.wav")
+    wav = wav[:16000 * 3]
+    assert pesq(wav, wav, sr) > 4.6                 # identity at WB ceiling
+    assert pesq(wav, 0.3 * wav, sr) > 4.6           # level-aligned
+
+    scores = []
+    for snr in (40, 20, 0):
+        n = rng.standard_normal(len(wav))
+        n *= np.linalg.norm(wav) / np.linalg.norm(n) / 10 ** (snr / 20)
+        scores.append(pesq(wav, wav + n, sr))
+    assert scores[0] > scores[1] > scores[2]
+    assert scores[0] > 4.0 and 2.0 < scores[1] < 3.6 and scores[2] < 1.6
+
+    # muffling (lowpass) must also hurt
+    from scipy.signal import butter, lfilter
+    b, a = butter(4, 1500 / (sr / 2))
+    assert pesq(wav, lfilter(b, a, wav), sr) < 3.0
+
+    with pytest.raises(ValueError):
+        pesq(np.zeros(100), np.zeros(100), 16000)
