@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from ..metrics.objective import log_spectral_d2, log_spectral_rmse, si_sdr
+from ..metrics.pesq import pesq
 from ..metrics.stoi import stoi
 from ..ops.mel import HUBERT_ALIGNED_MEL_22K, mel_spectrogram
 
@@ -77,10 +78,11 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
     ref = wav22[:t_out]
     ref_mel = np.asarray(mel_spectrogram(ref, HUBERT_ALIGNED_MEL_22K))
 
-    scores = {"stoi": [], "estoi": [], "si_sdr": [], "lsd_d2": [],
-              "lsd_rmse": [], "wer": [], "cer": []}
+    scores = {"pesq": [], "stoi": [], "estoi": [], "si_sdr": [],
+              "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": []}
     for i in range(n):
         est = inpainted[i]
+        scores["pesq"].append(pesq(ref, est, 22050))
         scores["stoi"].append(stoi(ref, est, 22050))
         scores["estoi"].append(stoi(ref, est, 22050, extended=True))
         scores["si_sdr"].append(si_sdr(est, ref))
