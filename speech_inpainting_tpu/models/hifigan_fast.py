@@ -7,12 +7,12 @@ inference) and leaves each MRF conv as a separate XLA op. This engine:
   2. can run the small-channel late-stage residual conv pairs through the
      fused Pallas kernel (ops/pallas_resblock.py).
 
-Measured on v5e (B16×4s): the Pallas step wins in isolation at C=32
-(5.1 vs 7.4 ms/step) but in the FULL generator graph XLA's scheduling wins
-(flax 109 ms, fast-XLA 108 ms, fast+pallas C≤32 115 ms) — the kernel's
-serialized halo DMA stalls what XLA overlaps. The Pallas path is therefore
-OFF by default (`pallas_max_channels=0`) and kept as an optimization surface
-(double-buffered DMA is the known next step).
+Measured on v5e: with double-buffered halo DMA the Pallas path wins the
+f32 full-generator graph at C≤32 (B16×4s: flax 117.7 ms, fast-XLA 109.6,
+fast+pallas 107.2) but loses at C=64 and in bf16 (B64: flax 199.7,
+fast-XLA 191.4, fast+pallas 305.7 — Mosaic lacks bf16 predication, forcing
+f32 upcasts). Since the serving configuration is bf16, the Pallas path is
+OFF by default (`pallas_max_channels=0`); enable it for f32 deployments.
 
 Numerically matches Generator.apply to float tolerance
 (tests/test_pallas.py).

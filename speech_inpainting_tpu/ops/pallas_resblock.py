@@ -31,10 +31,12 @@ LRELU_SLOPE = 0.1
 
 
 def _lrelu(x, slope=LRELU_SLOPE):
+    # compare in f32: Mosaic lacks bf16 predication on some targets
+    x = x.astype(jnp.float32)
     return jnp.where(x >= 0, x, slope * x)
 
 
-def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x_vmem, h_vmem,
+def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x_slots, h_vmem,
             acc_vmem, sem, *, k: int, dilation: int, tile: int,
             t_total: int, window: int):
     halo1 = dilation * (k - 1) // 2
@@ -42,15 +44,35 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x_vmem, h_vmem,
     halo = halo1 + halo2
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # Mosaic requires 128-aligned HBM slices; `window` is tile+2*halo
-    # rounded up, the excess columns are ignored below
-    dma = pltpu.make_async_copy(
-        x_hbm.at[i, :, pl.ds(j * tile, window)], x_vmem, sem)
-    dma.start()
-    dma.wait()
+    n_tiles = pl.num_programs(1)
+    n = i * n_tiles + j
+    total = pl.num_programs(0) * n_tiles
+    slot = jax.lax.rem(n, 2)
+
+    # double-buffered halo loads: the TPU grid runs sequentially, so slot
+    # state persists across steps — start tile n+1's DMA before computing
+    # tile n. Mosaic requires 128-aligned HBM slices; `window` is
+    # tile+2*halo rounded up, the excess columns are ignored below.
+    def dma_for(nn, s):
+        ii = jax.lax.div(nn, n_tiles)
+        jj = jax.lax.rem(nn, n_tiles)
+        return pltpu.make_async_copy(
+            x_hbm.at[ii, :, pl.ds(jj * tile, window)],
+            x_slots.at[s], sem.at[s])
+
+    @pl.when(n == 0)
+    def _():
+        dma_for(n, slot).start()
+
+    @pl.when(n + 1 < total)
+    def _():
+        dma_for(n + 1, jax.lax.rem(n + 1, 2)).start()
+
+    dma_for(n, slot).wait()
+    x_vmem = x_slots.at[slot]
 
     w_mid = tile + 2 * halo2
-    h_vmem[:, :] = _lrelu(x_vmem[:, :])
+    h_vmem[:, :] = _lrelu(x_vmem[:, :]).astype(h_vmem.dtype)
     # in-place accumulation on scratch refs keeps Mosaic's stack flat
     # (chained SSA adds blow past the scoped-vmem limit at C >= 64)
     acc_vmem[:, :w_mid] = jnp.dot(w1_ref[:, :, 0], h_vmem[:, 0:w_mid],
@@ -66,7 +88,7 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x_vmem, h_vmem,
     abs_pos = (j * tile - halo2
                + jax.lax.broadcasted_iota(jnp.int32, h2.shape, 1))
     h_vmem[:, :w_mid] = jnp.where((abs_pos >= 0) & (abs_pos < t_total),
-                                  h2, 0.0)
+                                  h2, 0.0).astype(h_vmem.dtype)
     acc_vmem[:, :tile] = jnp.dot(w2_ref[:, :, 0], h_vmem[:, 0:tile],
                                  preferred_element_type=jnp.float32)
     for jj in range(1, k):
@@ -94,11 +116,11 @@ def fused_resblock_step(x, w1, b1, w2, b2, *, dilation: int = 1,
     window = -(-(tile + 2 * halo) // 128) * 128
     n_tiles = -(-t // tile)
     t_pad = n_tiles * tile
+    dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     # left pad: halo; right pad: enough that the last tile's aligned
     # window stays in bounds
     right = (n_tiles - 1) * tile + window - (t + halo)
-    xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (0, 0), (halo, max(right, 0))))
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, 0), (halo, max(right, 0))))
 
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, dilation=dilation, tile=tile,
@@ -115,16 +137,16 @@ def fused_resblock_step(x, w1, b1, w2, b2, *, dilation: int = 1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, t_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, window), jnp.float32),   # x tile
-            pltpu.VMEM((c, window), jnp.float32),   # activations
-            pltpu.VMEM((c, window), jnp.float32),   # accumulator
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, c, window), dtype),        # double-buffered x
+            pltpu.VMEM((c, window), dtype),           # activations
+            pltpu.VMEM((c, window), jnp.float32),     # f32 accumulator
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, w1.astype(jnp.float32), b1.reshape(-1, 1).astype(jnp.float32),
-      w2.astype(jnp.float32), b2.reshape(-1, 1).astype(jnp.float32))
+    )(xp, w1.astype(dtype), b1.reshape(-1, 1).astype(jnp.float32),
+      w2.astype(dtype), b2.reshape(-1, 1).astype(jnp.float32))
     return out[:, :, :t]
 
 
