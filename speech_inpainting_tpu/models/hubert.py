@@ -250,6 +250,29 @@ class HubertModel(nn.Module):
         return x
 
 
+def extract_features_chunked(model: "HubertModel", params, wav,
+                             *, tap_layer: Optional[int] = None,
+                             chunk: int = 1_600_000):
+    """Frame features for arbitrarily long audio by processing `chunk`-sample
+    pieces independently and concatenating — the reference feature reader's
+    long-audio strategy (I_da/src/hubert_feature_reader.py:13,57-67, 100 s
+    chunks; boundary effects at chunk joins are accepted there too).
+
+    wav: (T,) numpy/jax array → (frames, hidden) array.
+    """
+    wav = np.asarray(wav, np.float32)
+    outs = []
+    for start in range(0, len(wav), chunk):
+        piece = wav[start:start + chunk]
+        if int(model.cfg.feature_lengths(np.array([len(piece)]))[0]) < 1:
+            break
+        feats = model.apply({"params": params},
+                            jnp.asarray(piece)[None], tap_layer=tap_layer)
+        outs.append(np.asarray(feats[0]))
+    return np.concatenate(outs, axis=0) if outs else np.zeros(
+        (0, model.cfg.hidden_size), np.float32)
+
+
 class PredictionHead(nn.Module):
     """I_ea CustomModel head: LayerNorm + Linear → codebook_dim (or n_classes)."""
     out_dim: int

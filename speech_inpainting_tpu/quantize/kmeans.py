@@ -154,6 +154,24 @@ def fit_kmeans(x, k: int, *, iters: int = 50, seed: int = 1234,
     return best
 
 
+def codebook_diagnostics(C) -> dict:
+    """Pairwise codebook statistics (the reference's check_cos_sim
+    diagnostics, km_label.py:96-115): cosine-similarity spread and centroid
+    norms — high off-diagonal similarity flags a collapsed codebook."""
+    C = np.asarray(C, np.float64)
+    n = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    sim = n @ n.T
+    off = sim[~np.eye(len(C), dtype=bool)]
+    return {
+        "k": len(C),
+        "cos_sim_mean": float(off.mean()),
+        "cos_sim_max": float(off.max()),
+        "cos_sim_min": float(off.min()),
+        "norm_mean": float(np.linalg.norm(C, axis=1).mean()),
+        "norm_std": float(np.linalg.norm(C, axis=1).std()),
+    }
+
+
 @dataclasses.dataclass
 class KMeans:
     """Centroid container mirroring ApplyKmeans (rows = centroids)."""

@@ -123,3 +123,26 @@ def test_hubert_grad_flow(rng):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_chunked_feature_extraction(rng):
+    from speech_inpainting_tpu.models.hubert import extract_features_chunked
+    cfg = HubertConfig(**{k: tuple(v) if isinstance(v, list) else v
+                          for k, v in TINY_BASE.items()})
+    model = HubertModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    wav = rng.standard_normal(4000).astype(np.float32) * 0.1
+    chunked = extract_features_chunked(model, params, wav, chunk=2000)
+    # equals running the model on each 2000-sample piece independently
+    # (the reference concatenates per-chunk features; global attention makes
+    # this differ from a single full pass by design)
+    w1 = np.asarray(model.apply({"params": params},
+                                jnp.asarray(wav[:2000])[None])[0])
+    w2 = np.asarray(model.apply({"params": params},
+                                jnp.asarray(wav[2000:])[None])[0])
+    want = np.concatenate([w1, w2])
+    assert chunked.shape == want.shape
+    np.testing.assert_allclose(chunked, want, atol=1e-5)
+    # pieces shorter than one receptive field are dropped, not crashed
+    tail = extract_features_chunked(model, params, wav[:5], chunk=2000)
+    assert tail.shape == (0, cfg.hidden_size)

@@ -192,3 +192,13 @@ def test_vq_psum_matches_single_device(rng):
                                np.asarray(upd1["vq"]["k_elem"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(upd8["vq"]["k"]),
                                np.asarray(upd1["vq"]["k"]), atol=1e-4)
+
+
+def test_codebook_diagnostics(rng):
+    from speech_inpainting_tpu.quantize.kmeans import codebook_diagnostics
+    C = rng.standard_normal((20, 8)).astype(np.float32)
+    d = codebook_diagnostics(C)
+    assert d["k"] == 20 and -1 <= d["cos_sim_mean"] <= 1
+    # collapsed codebook flags near-1 similarity
+    collapsed = np.tile(C[:1], (20, 1)) + 1e-6 * rng.standard_normal((20, 8))
+    assert codebook_diagnostics(collapsed)["cos_sim_mean"] > 0.9
