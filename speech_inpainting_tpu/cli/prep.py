@@ -110,6 +110,9 @@ def cmd_splits(args):
                    for ext in ("wav", "flac")
                    for p in Path(args.root).rglob(f"*.{ext}"))
     names = [n for n in names if not n.startswith(args.exclude_speaker)]
+    if args.only_speaker:
+        # single-speaker debug subset (selection_for_debug.py's p304 regime)
+        names = [n for n in names if n.split("_")[0] == args.only_speaker]
     os.makedirs(args.dest, exist_ok=True)
 
     def write(train, valid):
@@ -162,6 +165,8 @@ def main(argv=None):
                    choices=["ratio", "speakers", "texts", "both"])
     s.add_argument("--ratio", type=float, default=0.9)
     s.add_argument("--exclude-speaker", default="p315")
+    s.add_argument("--only-speaker", default=None,
+                   help="restrict to one speaker (fast debug subsets)")
     s.add_argument("--seed", type=int, default=1234)
 
     s = sub.add_parser("preprocess")

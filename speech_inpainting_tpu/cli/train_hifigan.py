@@ -11,7 +11,6 @@ Replaces I_ea/hifi_gan/train.py and train_modified.py. Data parallelism is a
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 from pathlib import Path
 

@@ -11,9 +11,7 @@ design) with scipy + numpy:
 """
 from __future__ import annotations
 
-import math
 from fractions import Fraction
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np

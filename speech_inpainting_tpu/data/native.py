@@ -9,7 +9,6 @@ scipy implementations in `data.audio` when the library isn't built;
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Sequence

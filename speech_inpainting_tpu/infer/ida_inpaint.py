@@ -25,7 +25,6 @@ single accelerator graph, reused across mask sizes/positions (traced scalars).
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -67,7 +66,6 @@ class IdaInpainter:
         return assign(feats, self._C)                 # (frames,)
 
     def _graph_impl(self, hp, cg, audio, mask_start, mask_size, emb, spkr):
-        sr = self.cfg.hifigan.sampling_rate
         masked = mask_span(audio + 1e-6, mask_start, mask_size)
 
         code_clean = self._units(hp, audio)
@@ -79,8 +77,6 @@ class IdaInpainter:
         code_inp = jnp.where(inside, code_blind, code_clean)
 
         f0 = extract_f0(audio, self.f0_cfg)
-        voiced = f0 > 0
-        nv = jnp.maximum(jnp.sum(voiced), 1)
         # reference normalizes by the RAW stream's mean/std (zeros included,
         # inpainting.py:217: normalize_nonzero(f0, np.mean(f0), np.std(f0)))
         mean = jnp.mean(f0)

@@ -27,8 +27,6 @@ which breaks remote-compile backends and bloats every compile.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ after weight-norm folding (tests/test_hifigan.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

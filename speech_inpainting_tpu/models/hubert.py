@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.conv import conv1d, weight_norm_kernel
+from ..ops.conv import conv1d
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,6 @@ import math
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .common import TorchConv1d, TorchConvTranspose1d

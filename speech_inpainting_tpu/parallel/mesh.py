@@ -10,7 +10,7 @@ Multi-slice scale-out stacks a 'dcn' axis in front with the same code.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

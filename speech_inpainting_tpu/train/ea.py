@@ -18,8 +18,7 @@ Mesh — gradient reduction is inserted by XLA (replacing DDP/NCCL).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import optax
 from flax import struct
 
 from ..losses import CentroidLosses
-from ..models.hubert import EncoderWithHead, HubertConfig
+from ..models.hubert import EncoderWithHead
 from ..ops.masking import mask_wave_frames
 
 

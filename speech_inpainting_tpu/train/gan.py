@@ -17,7 +17,7 @@ discriminator phases ('spectral' collection), matching torch train mode.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ few GEMMs), so the host pipeline ships only raw audio crops + mask starts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

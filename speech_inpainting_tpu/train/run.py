@@ -9,7 +9,7 @@ g_/do_ checkpointing, auto-resume from the newest checkpoint.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np

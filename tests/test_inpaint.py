@@ -100,3 +100,26 @@ def test_mask_span_conventions(rng):
     want = wav.copy()
     want[pos * 320 + 80:(pos + ln) * 320 + 79 - 80] = 0
     np.testing.assert_array_equal(got, want)
+
+
+def test_batched_inpaint_sharded_matches_single(rng):
+    """Serving-style SPMD: the batched graph with inputs sharded over the
+    8-device mesh must reproduce the single-device outputs."""
+    from speech_inpainting_tpu.parallel.mesh import make_mesh, shard_batch
+
+    _, inp, _ = tiny_inpainter(rng)
+    B = 8
+    wav22 = (rng.standard_normal((B, 22050)) * 0.1).astype(np.float32)
+    wav16 = (rng.standard_normal((B, 16000)) * 0.1).astype(np.float32)
+    pos = rng.integers(0, 30, B).astype(np.int32)
+    lens = np.full(B, 4, np.int32)
+
+    single = inp.batch(wav22, wav16, pos, lens)
+
+    mesh = make_mesh()
+    batch = shard_batch(mesh, dict(w22=wav22, w16=wav16, p=pos, l=lens))
+    sharded = inp.batch(batch["w22"], batch["w16"], batch["p"], batch["l"])
+    np.testing.assert_allclose(np.asarray(sharded["inpainted"]),
+                               np.asarray(single["inpainted"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sharded["pred_labels"]),
+                                  np.asarray(single["pred_labels"]))
