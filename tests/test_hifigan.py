@@ -154,3 +154,22 @@ def test_generator_grad_flow(rng):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_generator_v3_resblock2_parity(rng):
+    """Config-V3 generators use ResBlock2 (2x lrelu->dilated conv)."""
+    seed_all()
+    ref = ref_hifigan_models()
+    tiny3 = dict(resblock="2", upsample_rates=[8, 2],
+                 upsample_kernel_sizes=[16, 4], upsample_initial_channel=32,
+                 resblock_kernel_sizes=[3, 5],
+                 resblock_dilation_sizes=[[1, 2], [2, 6]])
+    tg = ref.Generator(AttrDict(tiny3)).eval()
+    cfg = tiny_cfg(**tiny3)
+    params = convert_generator(tg.state_dict(), cfg)
+    mel = rng.standard_normal((2, 80, 11)).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(mel)).numpy()
+    got = np.asarray(Generator(cfg).apply({"params": params},
+                                          jnp.asarray(mel)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

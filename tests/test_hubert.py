@@ -146,3 +146,53 @@ def test_chunked_feature_extraction(rng):
     # pieces shorter than one receptive field are dropped, not crashed
     tail = extract_features_chunked(model, params, wav[:5], chunk=2000)
     assert tail.shape == (0, cfg.hidden_size)
+
+
+def test_fairseq_converter_mapping(rng):
+    """convert_fairseq_hubert maps fairseq key names onto the same tensors as
+    the HF converter (synthetic fairseq-named state dict from the HF one)."""
+    from speech_inpainting_tpu.convert.hubert_torch import \
+        convert_fairseq_hubert
+    tm, cfg, hf_params = make_pair(TINY_BASE)
+    sd = tm.state_dict()
+    fs = {}
+    for k, v in sd.items():
+        k2 = k
+        k2 = k2.replace("feature_extractor.conv_layers.", "FECL.")
+        import re
+        m = re.match(r"FECL\.(\d+)\.conv\.(weight|bias)", k2)
+        if m:
+            fs[f"feature_extractor.conv_layers.{m.group(1)}.0.{m.group(2)}"] = v
+            continue
+        m = re.match(r"FECL\.(\d+)\.layer_norm\.(weight|bias)", k2)
+        if m:
+            fs[f"feature_extractor.conv_layers.{m.group(1)}.2.{m.group(2)}"] = v
+            continue
+        if k.startswith("feature_projection.layer_norm."):
+            fs[k.replace("feature_projection.layer_norm", "layer_norm")] = v
+        elif k.startswith("feature_projection.projection."):
+            fs[k.replace("feature_projection.projection",
+                         "post_extract_proj")] = v
+        elif k.startswith("encoder.pos_conv_embed.conv."):
+            fs[k.replace("encoder.pos_conv_embed.conv",
+                         "encoder.pos_conv.0")
+               .replace("parametrizations.weight.original0", "weight_g")
+               .replace("parametrizations.weight.original1", "weight_v")] = v
+        elif ".attention." in k:
+            fs[k.replace(".attention.", ".self_attn.")] = v
+        elif ".layer_norm." in k and ".layers." in k:
+            fs[k.replace(".layer_norm.", ".self_attn_layer_norm.")] = v
+        elif ".feed_forward.intermediate_dense." in k:
+            fs[k.replace(".feed_forward.intermediate_dense.", ".fc1.")] = v
+        elif ".feed_forward.output_dense." in k:
+            fs[k.replace(".feed_forward.output_dense.", ".fc2.")] = v
+        else:
+            fs[k] = v
+    fs_params = convert_fairseq_hubert(fs, cfg)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(fs_params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(hf_params),
+                   key=lambda kv: str(kv[0]))):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
