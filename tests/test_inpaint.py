@@ -123,3 +123,23 @@ def test_batched_inpaint_sharded_matches_single(rng):
                                np.asarray(single["inpainted"]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(sharded["pred_labels"]),
                                   np.asarray(single["pred_labels"]))
+
+
+def test_inpaint_mask_edge_cases(rng):
+    """Masks past the signal end, covering everything, or empty must not
+    crash, NaN, or corrupt the untouched regions."""
+    _, inp, _ = tiny_inpainter(rng)
+    wav16 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    wav22 = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    n_frames = HUBERT_ALIGNED_MEL_22K.num_frames(22050)
+
+    # mask extending past the end
+    out = inp(wav22, wav16, n_frames - 2, 50)
+    assert np.isfinite(np.asarray(out["inpainted"])).all()
+    # mask covering every frame
+    out = inp(wav22, wav16, 0, n_frames + 10)
+    assert np.isfinite(np.asarray(out["inpainted"])).all()
+    # empty mask: output mel untouched everywhere
+    out = inp(wav22, wav16, 10, 0)
+    np.testing.assert_array_equal(np.asarray(out["mel_inpainted"]),
+                                  np.asarray(out["mel_masked"]))
