@@ -104,3 +104,29 @@ def test_config_build_merge_precedence(tmp_path):
     save_config(cfg, out)
     assert json.loads(out.read_text())["inner"]["lr"] == 0.5
     assert to_dict(cfg)["n"] == 5
+
+
+def test_shipped_config_presets_are_consumable():
+    """configs/*.json must build the corresponding model configs."""
+    import json
+    from pathlib import Path
+    from speech_inpainting_tpu.models.codegen import (CodeGeneratorConfig,
+                                                      FoVQVAEConfig)
+    from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+
+    root = Path(__file__).resolve().parents[1] / "configs"
+    h = json.loads((root / "hifigan_v1.json").read_text())
+    g = HiFiGANConfig.from_dict(h)
+    assert g.total_upsample == h["hop_size"] == 256
+
+    hm = json.loads((root / "hifigan_ft_modified.json").read_text())
+    assert hm["segment_size"] == 44288 and hm["mask_len"] == 20
+
+    d = json.loads((root / "da_hubert100_lut.json").read_text())
+    c = CodeGeneratorConfig.from_dict(d)
+    assert c.hifigan.in_dim == 384 and c.hifigan.total_upsample == 320
+    assert c.f0_quantizer is not None and c.f0_quantizer.l_bins == 20
+
+    f = json.loads((root / "f0_vqvae.json").read_text())
+    fc = FoVQVAEConfig.from_dict(f)
+    assert fc.emb_width == 128 and fc.encoder.total_stride == 16
