@@ -108,15 +108,22 @@ def convert_fo_vqvae(sd: dict, cfg: FoVQVAEConfig, prefix: str = ""):
 def convert_code_generator(sd: dict, cfg: CodeGeneratorConfig):
     """CodeGenerator state dict → (params, vq_tree) for models.codegen.
     Apply with variables = {"params": params, "vq": vq_tree}."""
-    params = {"generator": convert_generator(sd, cfg.hifigan),
-              "emb_c": {"weight": _np(sd["emb_c.weight"])}}
+    params = {"generator": convert_generator(sd, cfg.hifigan)}
     vq_tree = {}
+    if cfg.code_encoder is not None:
+        # content-VQVAE regime (model.py:54-59): emb_c is None in the
+        # reference; the content encoder + EMA codebook replace it
+        params["code_encoder"] = convert_encoder(sd, "code_encoder.",
+                                                 cfg.code_encoder)
+        vq_tree["code_vq"] = convert_bottleneck_vars(sd, "code_vq.", 1)
+    else:
+        params["emb_c"] = {"weight": _np(sd["emb_c.weight"])}
     if cfg.f0_quantizer is not None:
         params["emb_p"] = {"weight": _np(sd["emb_p.weight"])}
         fo_params, fo_vq = convert_fo_vqvae(sd, cfg.f0_quantizer,
                                             prefix="fo_vqvae.")
         params["fo_vqvae"] = fo_params
-        vq_tree = {"fo_vqvae": fo_vq}
+        vq_tree["fo_vqvae"] = fo_vq
     if cfg.multispkr and not cfg.external_speaker_emb:
         params["emb_s"] = {"weight": _np(sd["emb_s.weight"])}
     return params, vq_tree

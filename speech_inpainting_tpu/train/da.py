@@ -5,14 +5,26 @@ Behavior matched to I_da/scripts/train.py:99-442 (code new): the generator is
 loss uses the 16 kHz full-band mel, and the frozen FoVQVAE pitch quantizer is
 excluded from the optimizer (torch skips requires_grad=False params; here
 optax.set_to_zero over the 'fo_vqvae' subtree + stop_gradient in the model).
+
+Regimes (reference scripts/train.py:99-112 docstring):
+  - decoder-only (unit-embedding lookup): vq holds only the frozen pitch
+    codebook — constant through training.
+  - joint enc-VQ-dec (h.lambda_commit_code truthy): the content EMA codebook
+    updates EVERY generator forward (vq.py:57-90 update_k under no_grad) —
+    threaded through GANTrainState.vq via make_gan_step(stateful_vq=True),
+    with state.rng feeding the dead-code restart sampling. Under a dp-sharded
+    jit the one-hot segment sums reduce globally (GSPMD inserts the psums the
+    reference got from dist.all_reduce, vq.py:69-71).
 """
 from __future__ import annotations
 
 import dataclasses
 
+import jax
+
 from ..models.codegen import CodeGenerator, CodeGeneratorConfig
 from ..ops.mel import VOCODER_MEL_16K_FULLBAND, MelConfig, mel_spectrogram
-from .gan import GANConfig, create_gan_state, make_gan_step
+from .gan import GANConfig, GANTrainState, create_gan_state, make_gan_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,30 +36,51 @@ class DATrainConfig:
     code_hop_size: int = 320
 
 
-def make_da_step(cfg: DATrainConfig, vq_tree):
-    """batch = {'code': (B,F) int32, 'f0': (B,1,Ff), 'emb': (B,E) or
-    'spkr': (B,), 'audio': (B,1,S)}; 'mel_loss' optional (else in-graph).
+def make_da_step(cfg: DATrainConfig, vq_tree=None):
+    """batch = {'code': (B,F) int32 (or (B,C,T) float in the joint regime),
+    'f0': (B,1,Ff), 'emb': (B,E) or 'spkr': (B,), 'audio': (B,1,S)};
+    'mel_loss' optional (else in-graph).
 
-    `vq_tree` is the frozen pitch quantizer's codebook state (from
-    convert_fo_vqvae / FoVQVAE training) — tiny, closed over as a constant.
+    Decoder-only regime: `vq_tree` is the frozen pitch quantizer's codebook
+    state (from convert_fo_vqvae / FoVQVAE training) — tiny, closed over as a
+    constant.
+
+    Joint regime (cfg.codegen.code_encoder set): the FULL 'vq' collection
+    (content codebook + any pitch codebook) lives in GANTrainState.vq and is
+    EMA-updated per step — build the state with create_da_state and leave
+    `vq_tree` None.
     """
     codegen = CodeGenerator(cfg.codegen)
     content_vq = cfg.codegen.code_encoder is not None
+    mel_fn = lambda w: mel_spectrogram(w, cfg.mel_loss)  # noqa: E731
+
+    if content_vq:
+        def gen_fwd(g_params, vq, rng, batch):
+            (wav, commit, _), upd = codegen.apply(
+                {"params": g_params, "vq": vq}, batch["code"],
+                f0=batch.get("f0"), emb=batch.get("emb"),
+                spkr=batch.get("spkr"), train=True,
+                mutable=["vq"], rngs={"vq": rng})
+            return wav, commit, upd["vq"]
+
+        return make_gan_step(gen_fwd, mel_fn, cfg.gan, stateful_vq=True)
 
     def gen_fwd(g_params, batch):
-        out = codegen.apply(
+        return codegen.apply(
             {"params": g_params, "vq": vq_tree}, batch["code"],
             f0=batch.get("f0"), emb=batch.get("emb"), spkr=batch.get("spkr"))
-        if content_vq:
-            # (wav, commit, metrics): λ_commit trains the content encoder
-            # through the commit term; the EMA codebook itself is refreshed
-            # between epochs (offline re-estimation) rather than per-step
-            wav, commit, _ = out
-            return wav, commit
-        return out
 
-    return make_gan_step(gen_fwd,
-                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan)
+    return make_gan_step(gen_fwd, mel_fn, cfg.gan)
 
 
-__all__ = ["DATrainConfig", "GANConfig", "create_gan_state", "make_da_step"]
+def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
+                    spectral, *, vq=None, seed: int = 1234) -> GANTrainState:
+    """GAN state for the joint regime: vq = the generator's full 'vq'
+    collection (from model.init or the checkpoint converter); the rng drives
+    dead-code restart sampling (torch randperm, vq.py:66-68)."""
+    return create_gan_state(cfg.gan, g_params, mpd_params, msd_params,
+                            spectral, vq=vq, rng=jax.random.PRNGKey(seed))
+
+
+__all__ = ["DATrainConfig", "GANConfig", "create_gan_state",
+           "create_da_state", "make_da_step"]

@@ -50,6 +50,8 @@ class GANTrainState(struct.PyTreeNode):
     spectral: Any                    # MSD spectral-norm u/v state
     g_opt: Any
     d_opt: Any
+    vq: Any = None                   # generator 'vq' collection (EMA codebooks)
+    rng: Any = None                  # PRNG key for in-step VQ restarts
 
 
 def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
@@ -76,18 +78,27 @@ def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
 
 
 def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,
-                     spectral) -> GANTrainState:
+                     spectral, *, vq=None, rng=None) -> GANTrainState:
     return GANTrainState(
         step=jnp.zeros((), jnp.int32), g_params=g_params,
         d_params={"mpd": mpd_params, "msd": msd_params}, spectral=spectral,
         g_opt=_make_g_opt(cfg).init(g_params),
-        d_opt=_make_opt(cfg).init({"mpd": mpd_params, "msd": msd_params}))
+        d_opt=_make_opt(cfg).init({"mpd": mpd_params, "msd": msd_params}),
+        vq=vq, rng=rng)
 
 
-def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
+def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
+                  *, stateful_vq: bool = False):
     """Build step(state, batch) -> (state, metrics).
 
     generator_fwd(g_params, batch) -> ŷ (B, 1, T) or (ŷ, commit_loss).
+    With stateful_vq=True the generator carries mutable EMA-VQ codebooks
+    updated every forward (the reference's joint enc-VQ-dec regime,
+    I_da/src/modules/vq.py:57-90 driven from scripts/train.py:99-112):
+    generator_fwd(g_params, vq, rng, batch) -> (ŷ, commit_loss, new_vq),
+    and state.vq / state.rng must be set. The codebook update is a
+    no-grad side effect (torch updates under no_grad) — it rides the
+    vjp as an aux output.
     mel_fn(wav (B, T)) -> loss mel (the full-band fmax_for_loss mel).
     batch must contain 'audio' (B, 1, T) ground truth; 'mel_loss'
     (B, n_mels, F) is used if present, else computed in-graph as
@@ -96,7 +107,7 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
     g_opt, d_opt = _make_g_opt(cfg), _make_opt(cfg)
-    has_commit = cfg.lambda_commit > 0
+    has_commit = cfg.lambda_commit > 0 or stateful_vq
 
     def disc_apply(d_params, spectral, y, y_hat):
         pr, pg, pfr, pfg = mpd.apply({"params": d_params["mpd"]}, y, y_hat)
@@ -109,13 +120,23 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
         y = batch["audio"]
         mel_gt = batch["mel_loss"] if "mel_loss" in batch else mel_fn(y[:, 0])
 
+        if stateful_vq:
+            next_rng, step_rng = jax.random.split(state.rng)
+        else:
+            next_rng = step_rng = state.rng
+
         # ---- 1. single generator forward, with a reusable vjp ----------
         def fwd(gp):
+            if stateful_vq:
+                y_hat, commit, new_vq = generator_fwd(gp, state.vq, step_rng,
+                                                      batch)
+                return (y_hat, commit), new_vq
             out = generator_fwd(gp, batch)
             if has_commit:
-                return out
-            return out, jnp.zeros(())
-        (y_hat, commit), gen_vjp = jax.vjp(fwd, state.g_params)
+                return out, None
+            return (out, jnp.zeros(())), None
+        (y_hat, commit), gen_vjp, new_vq = jax.vjp(fwd, state.g_params,
+                                                   has_aux=True)
 
         # ---- 2. discriminator update on stop_grad(ŷ) -------------------
         y_hat_sg = jax.lax.stop_gradient(y_hat)
@@ -160,9 +181,13 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig):
 
         spectral = aux.pop("spectral")
         metrics = dict(loss_gen_all=g_loss, loss_disc=d_loss, **aux)
+        if has_commit:
+            metrics["commit"] = commit
         new_state = GANTrainState(step=state.step + 1, g_params=g_params,
                                   d_params=d_params, spectral=spectral,
-                                  g_opt=g_opt_state, d_opt=d_opt_state)
+                                  g_opt=g_opt_state, d_opt=d_opt_state,
+                                  vq=(new_vq if stateful_vq else state.vq),
+                                  rng=next_rng)
         return new_state, metrics
 
     return step
