@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from ..data.pipeline import device_prefetch
 from ..utils.checkpoints import (Checkpointer, restore_gan_checkpoint,
@@ -33,6 +34,21 @@ class RunConfig:
     mesh: Optional[object] = None          # jax Mesh for dp sharding
 
 
+def _mesh_jit(step_fn: Callable, run: RunConfig):
+    """jit the step with the run's SPMD layout: with a mesh, state and
+    metrics are replicated (NamedSharding(mesh, P())) and batches arrive
+    dp-sharded from device_prefetch — XLA inserts the gradient all-reduces
+    (the DDP loop this replaces, I_ea/hifi_gan/train.py:44-106). Returns
+    (jitted_step, place_state)."""
+    if run.mesh is None:
+        return jax.jit(step_fn), lambda s: s
+    repl = NamedSharding(run.mesh, PartitionSpec())
+    data = NamedSharding(run.mesh, PartitionSpec("dp"))
+    jstep = jax.jit(step_fn, in_shardings=(repl, data),
+                    out_shardings=(repl, repl))
+    return jstep, lambda s: jax.device_put(s, repl)
+
+
 def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                      run: RunConfig, *, valid_fn: Optional[Callable] = None):
     """Drive a GAN train state: step_fn(state, batch), make_batches(epoch) →
@@ -43,7 +59,8 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
         print(f"resumed from step {int(state.step)}")
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
                          summary_interval=run.summary_interval)
-    jstep = jax.jit(step_fn)
+    jstep, place = _mesh_jit(step_fn, run)
+    state = place(state)
     steps = int(state.step)
     for epoch in range(run.epochs):
         for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
@@ -75,7 +92,8 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
     ckpt = Checkpointer(run.checkpoint_dir)
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
                          summary_interval=run.summary_interval)
-    jstep = jax.jit(step_fn)
+    jstep, place = _mesh_jit(step_fn, run)
+    state = place(state)
     best_acc = -np.inf
     steps = int(state.step)
     for epoch in range(run.epochs):
