@@ -50,15 +50,21 @@ def _mel_to_hz_slaney(mels):
 
 @functools.lru_cache(maxsize=16)
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float,
-                   fmax: float | None, htk: bool = False) -> np.ndarray:
+                   fmax: float | None, htk: bool = False,
+                   norm: str | None = "default") -> np.ndarray:
     """Triangular mel filterbank.
 
     htk=False: librosa.filters.mel defaults (slaney scale + slaney norm) —
     every reference vocoder frontend. htk=True: HTK scale, no norm — the
     torchaudio MelSpectrogram defaults used by the d-vector wav2mel frontend
-    (I_da/src/modules/wav2mel.py:143-149).
+    (I_da/src/modules/wav2mel.py:143-149). norm overrides that pairing:
+    "slaney" forces area normalization, None forces none (librosa's
+    mfcc(htk=True) is HTK scale WITH slaney norm — the ASR-baseline DTW
+    frontend, predict_asr.py:175).
     Returns (n_mels, 1 + n_fft//2) float32.
     """
+    if norm == "default":
+        norm = None if htk else "slaney"
     if fmax is None:
         fmax = sr / 2.0
     n_freq = 1 + n_fft // 2
@@ -74,7 +80,7 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float,
     lower = -ramps[:-2] / fdiff[:-1][:, None]
     upper = ramps[2:] / fdiff[1:][:, None]
     weights = np.maximum(0.0, np.minimum(lower, upper))
-    if not htk:
+    if norm == "slaney":
         enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
         weights *= enorm[:, None]
     return weights.astype(np.float32)
