@@ -1,0 +1,138 @@
+"""Training benchmark: steps/s + audio-sec/s/chip at reference scale.
+
+Two workloads (VERDICT r1 #5), timed steady-state on the default device:
+  (a) HiFi-GAN V1 vanilla GAN step — segment 8192, batch 16
+      (I_ea/hifi_gan/config_v1.json:2,17: batch_size 16, segment_size 8192)
+  (b) I_ea encoder-adaptation step — HuBERT-base, batch 16, 5 s @16 kHz
+      (I_ea/config.yaml batch_size 16, max_wav_length 5.0)
+
+Prints one JSON line per workload. Run with --cache to enable the persistent
+XLA compilation cache (pays the multi-minute GAN compile once per machine);
+compile wall time is reported so before/after is visible.
+
+Usage: python bench_train.py [--cache] [--workload gan|ea|all] [--bf16]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_gan(dtype, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hifigan import (
+        Generator, HiFiGANConfig, MultiPeriodDiscriminator,
+        MultiScaleDiscriminator)
+    from speech_inpainting_tpu.train.hifigan import (HiFiGANTrainConfig,
+                                                     make_vanilla_step)
+    from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+    from speech_inpainting_tpu.ops.mel import VOCODER_MEL_22K
+    from speech_inpainting_tpu.utils.timing import force
+
+    B, SEG = 16, 8192
+    gcfg = HiFiGANConfig(dtype=dtype)   # V1: up [8,8,2,2], ch 512, k {3,7,11}
+    cfg = HiFiGANTrainConfig(gan=GANConfig(), hifigan=gcfg, segment_size=SEG)
+    gen = Generator(gcfg)
+    rng = np.random.default_rng(0)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
+    y = jnp.asarray((rng.standard_normal((B, 1, SEG)) * 0.2), jnp.float32)
+    zy = jnp.zeros((1, 1, SEG))
+    mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
+    sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
+    state = create_gan_state(cfg.gan, gp, dp, sv["params"], sv["spectral"])
+    step = jax.jit(make_vanilla_step(cfg))
+    batch = {"audio": y}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    force(m)
+    compile_s = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        force(m)
+        best = min(best, time.perf_counter() - t0)
+    sps = 1.0 / best
+    audio_sps = sps * B * SEG / 22050.0
+    print(json.dumps({
+        "metric": "hifigan_v1_gan_train_step",
+        "value": round(sps, 3), "unit": f"steps/sec (B16 x seg8192, "
+        f"{'bf16' if dtype != jnp.float32 else 'f32'})",
+        "audio_sec_per_sec_per_chip": round(audio_sps, 2),
+        "compile_seconds": round(compile_s, 1),
+    }))
+
+
+def bench_ea(dtype, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hubert import (EncoderWithHead,
+                                                     HubertConfig)
+    from speech_inpainting_tpu.train.ea import (EAConfig, create_state,
+                                                make_train_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    B, T = 16, 80000        # 5 s @ 16 kHz (config.yaml max_wav_length)
+    cfg = EAConfig(mask_length=20)
+    hcfg = HubertConfig.base(dtype=dtype)
+    model = EncoderWithHead(hcfg, out_dim=80)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    state = create_state(cfg, params)
+    centroids = rng.standard_normal((100, 80)).astype(np.float32)
+    step = jax.jit(make_train_step(model, cfg, centroids))
+    n_frames = int(hcfg.feature_lengths(np.array([T]))[0])
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+        "attn_mask": jnp.ones((B, T), jnp.int32),
+        "mask_pos": jnp.asarray(rng.integers(
+            0, n_frames - cfg.mask_length, B), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 100, (B, cfg.mask_length)),
+                              jnp.int32),
+    }
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    force(m)
+    compile_s = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        force(m)
+        best = min(best, time.perf_counter() - t0)
+    sps = 1.0 / best
+    audio_sps = sps * B * T / 16000.0
+    print(json.dumps({
+        "metric": "ea_hubert_base_train_step",
+        "value": round(sps, 3), "unit": f"steps/sec (B16 x 5s, "
+        f"{'bf16' if dtype != jnp.float32 else 'f32'})",
+        "audio_sec_per_sec_per_chip": round(audio_sps, 2),
+        "compile_seconds": round(compile_s, 1),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache", action="store_true",
+                    help="enable the persistent XLA compilation cache")
+    ap.add_argument("--workload", default="all", choices=["gan", "ea", "all"])
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul/conv params (reference trains f32)")
+    args = ap.parse_args()
+    if args.cache:
+        from speech_inpainting_tpu.utils.cache import enable_persistent_cache
+        print(f"# compilation cache: {enable_persistent_cache()}")
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.workload in ("gan", "all"):
+        bench_gan(dtype)
+    if args.workload in ("ea", "all"):
+        bench_ea(dtype)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,546 @@
+"""End-to-end quality evaluation: train both stacks on real audio, then run
+the reference mask-sweep protocols and write EVAL_r02-style numbers.
+
+Scale statement (per VERDICT r1 "Next round #2"): no pretrained checkpoints
+or corpora exist in this sandbox (zero egress), so this is an OVERFIT-SCALE
+evaluation — the two committed reference utterances (LJ001-0001,
+LJ050-0271) are both the training set and the evaluation set, with
+small-width from-scratch models. The numbers validate the PIPELINES
+end-to-end (training → checkpoints → fused inference → metrics), not
+paper-scale quality.
+
+Protocols:
+  I_ea: mask lengths {20..400} ms × 20 random positions per wav
+        (I_ea/mask_pos_len.py:32-35, predict.yaml:5)
+  I_da: mask lengths {100..400} ms at the fixed 1.5 s start
+        (I_da/scripts/inpainting.py:187,345-347)
+
+Stages (resumable; artifacts under --out):
+  kmeans → hifigan → ea → eval_ea → feats → f0vq → da → eval_da → report
+
+  python examples/eval_e2e.py --stage all --out eval_out
+"""
+import argparse
+import json
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+WAVS = {
+    "LJ001-0001": "/root/reference/I_ea/hifi_gan/test_files/LJ001-0001_22k.wav",
+    "LJ050-0271": "/root/reference/I_ea/prediction/LJ050-0271/orig.wav",
+}
+
+
+def _save(path, obj):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    import jax
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(obj), f)
+
+
+def _load(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_audio():
+    from speech_inpainting_tpu.data.audio import load_wav, peak_normalize
+    wavs22, wavs16 = {}, {}
+    for name, p in WAVS.items():
+        w22, _ = load_wav(p, target_sr=22050)
+        w16, _ = load_wav(p, target_sr=16000)
+        wavs22[name] = peak_normalize(w22, 0.95)
+        wavs16[name] = peak_normalize(w16, 0.95)
+    return wavs22, wavs16
+
+
+# ---------------------------------------------------------------- configs
+def small_hifigan_22k():
+    from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+    return HiFiGANConfig(upsample_rates=(8, 8, 4),
+                         upsample_kernel_sizes=(16, 16, 8),
+                         upsample_initial_channel=192,
+                         resblock_kernel_sizes=(3, 7),
+                         resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)))
+
+
+def small_hubert():
+    from speech_inpainting_tpu.models.hubert import HubertConfig
+    return HubertConfig(conv_dim=(128,) * 7, hidden_size=256,
+                        num_hidden_layers=4, num_attention_heads=4,
+                        intermediate_size=768, num_conv_pos_embeddings=63,
+                        num_conv_pos_embedding_groups=4)
+
+
+def small_codegen(fo_cfg):
+    from speech_inpainting_tpu.models.codegen import CodeGeneratorConfig
+    from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+    hifi = HiFiGANConfig(upsample_rates=(5, 4, 4, 4),
+                         upsample_kernel_sizes=(10, 8, 8, 8),
+                         upsample_initial_channel=192,
+                         resblock_kernel_sizes=(3, 7),
+                         resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+                         in_dim=256, sampling_rate=16000)
+    return CodeGeneratorConfig(hifigan=hifi, num_embeddings=100,
+                               embedding_dim=128, multispkr=False,
+                               use_f0=True, external_speaker_emb=False,
+                               f0_quantizer=fo_cfg)
+
+
+def fo_vqvae_cfg():
+    from speech_inpainting_tpu.models.codegen import FoVQVAEConfig
+    from speech_inpainting_tpu.models.jukebox import ConvStackConfig
+    stack = ConvStackConfig(input_emb_width=1, output_emb_width=128,
+                            levels=1, downs_t=(4,), strides_t=(2,), width=128,
+                            depth=2, dilation_growth_rate=3)
+    dec = ConvStackConfig(input_emb_width=1, output_emb_width=128,
+                          levels=1, downs_t=(4,), strides_t=(2,), width=128,
+                          depth=2, dilation_growth_rate=3,
+                          reverse_decoder_dilation=True)
+    return FoVQVAEConfig(encoder=stack, decoder=dec, l_bins=20,
+                         emb_width=128, levels=1)
+
+
+# ---------------------------------------------------------------- stages
+def stage_kmeans(out, wavs22):
+    """Centroid codebook on hop-441 mel frames of the training audio
+    (the I_ea k-means, kmeans_learn.py semantics)."""
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.ops.mel import (HUBERT_ALIGNED_MEL_22K,
+                                               mel_spectrogram)
+    from speech_inpainting_tpu.quantize.kmeans import fit_kmeans
+    frames = np.concatenate([
+        np.asarray(mel_spectrogram(jnp.asarray(w),
+                                   HUBERT_ALIGNED_MEL_22K)).T
+        for w in wavs22.values()])
+    centroids, inertia = fit_kmeans(frames, 100, iters=30, n_init=3)
+    print(f"kmeans: {frames.shape[0]} frames -> 100 centroids, "
+          f"inertia {float(inertia):.1f}")
+    _save(out / "centroids.pkl", centroids)
+
+
+def stage_hifigan(out, wavs22, steps):
+    """Modified decoder fine-tune regime, from scratch: random 44288-sample
+    crops, in-graph centroid substitution of a random 20-frame span
+    (train_modified.py semantics, segment 44288 / mask_len 20)."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hifigan import (
+        Generator, MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+    from speech_inpainting_tpu.train.hifigan import (HiFiGANTrainConfig,
+                                                     make_modified_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    centroids = _load(out / "centroids.pkl")
+    gcfg = small_hifigan_22k()
+    seg, B, mask_len = 44288, 4, 20
+    tcfg = HiFiGANTrainConfig(gan=GANConfig(steps_per_epoch=1000),
+                              hifigan=gcfg, segment_size=seg,
+                              mask_len=mask_len)
+    gen = Generator(gcfg)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
+    zy = jnp.zeros((1, 1, seg))
+    mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
+    sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
+    state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
+    step = jax.jit(make_modified_step(tcfg, centroids))
+
+    cat = np.concatenate(list(wavs22.values()))
+    rng = np.random.default_rng(0)
+    n441 = tcfg.mel_441.num_frames(seg)
+
+    def batch():
+        starts = rng.integers(0, len(cat) - seg, B)
+        audio = np.stack([cat[s:s + seg] for s in starts])[:, None, :]
+        return {"audio": jnp.asarray(audio, jnp.float32),
+                "mask_start": jnp.asarray(
+                    rng.integers(0, n441 - mask_len, B), jnp.int32)}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch())
+    force(m)
+    print(f"hifigan: compile {time.perf_counter() - t0:.0f}s")
+    t0, m0 = time.perf_counter(), float(m["mel_error"])
+    for i in range(1, steps):
+        state, m = step(state, batch())
+        if i % 200 == 0:
+            force(m)
+            print(f"hifigan step {i}: mel_error {float(m['mel_error']):.3f} "
+                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
+    force(m)
+    print(f"hifigan: mel_error {m0:.3f} -> {float(m['mel_error']):.3f} "
+          f"in {steps} steps")
+    _save(out / "hifigan_g.pkl", state.g_params)
+
+
+def stage_ea(out, wavs22, wavs16, steps):
+    """Encoder adaptation from scratch: predict centroid ids of the masked
+    20-frame span (main.py loss/optimizer semantics, cos_sim loss)."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hubert import EncoderWithHead
+    from speech_inpainting_tpu.ops.mel import (HUBERT_ALIGNED_MEL_22K,
+                                               mel_spectrogram)
+    from speech_inpainting_tpu.quantize.kmeans import assign
+    from speech_inpainting_tpu.train.ea import (EAConfig, create_state,
+                                                make_train_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    centroids = _load(out / "centroids.pkl")
+    hcfg = small_hubert()
+    cfg = EAConfig(mask_length=20)
+    model = EncoderWithHead(hcfg, out_dim=80)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    state = create_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg, centroids))
+
+    # frame-aligned labels for each utterance (hop 441 @22k == 320 @16k)
+    labels = {name: np.asarray(assign(
+        jnp.asarray(np.asarray(mel_spectrogram(
+            jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
+        jnp.asarray(centroids))) for name, w in wavs22.items()}
+
+    B, F = 8, 150                    # 3 s crops, 150 frames
+    T = F * 320
+    rng = np.random.default_rng(1)
+    names = list(wavs16)
+
+    def batch():
+        wav = np.zeros((B, T), np.float32)
+        lab = np.zeros((B, cfg.mask_length), np.int32)
+        pos = np.zeros((B,), np.int32)
+        for b in range(B):
+            name = names[rng.integers(len(names))]
+            w16, l = wavs16[name], labels[name]
+            max_f = min(len(w16) // 320, len(l)) - F
+            f0_ = rng.integers(0, max_f)
+            wav[b] = w16[f0_ * 320:(f0_ + F) * 320]
+            p = rng.integers(1, F - cfg.mask_length - 1)
+            pos[b] = p
+            lab[b] = l[f0_ + p:f0_ + p + cfg.mask_length]
+        return {"wav": jnp.asarray(wav),
+                "attn_mask": jnp.ones((B, T), jnp.int32),
+                "mask_pos": jnp.asarray(pos), "labels": jnp.asarray(lab)}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch())
+    force(m)
+    print(f"ea: compile {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    for i in range(1, steps):
+        state, m = step(state, batch())
+        if i % 200 == 0:
+            force(m)
+            print(f"ea step {i}: loss {float(m['loss']):.3f} acc "
+                  f"{float(m.get('cos_sim_acc', m.get('acc', 0))):.3f} "
+                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
+    force(m)
+    print(f"ea final: {({k: round(float(v), 4) for k, v in m.items()})}")
+    _save(out / "ea_params.pkl", state.params)
+
+
+def stage_eval_ea(out, wavs22, wavs16):
+    """The I_ea mask-sweep protocol with the trained stack."""
+    from speech_inpainting_tpu.infer.inpaint import (InformedInpainter,
+                                                     InpainterConfig)
+    from speech_inpainting_tpu.infer.evaluate import (build_mask_sweep,
+                                                      evaluate_sweep)
+    hp = _load(out / "ea_params.pkl")
+    gp = _load(out / "hifigan_g.pkl")
+    centroids = _load(out / "centroids.pkl")
+    inp = InformedInpainter(
+        InpainterConfig(hubert=small_hubert(), hifigan=small_hifigan_22k()),
+        hp, gp, centroids)
+    sweep = build_mask_sweep({n: len(w) for n, w in wavs16.items()},
+                             n_positions=20)
+    t0 = time.perf_counter()
+    results = evaluate_sweep(inp, wavs22, wavs16, sweep)
+    results["protocol"] = ("I_ea mask_pos_len: {20..400}ms x 20 positions, "
+                           "informed inpainting")
+    print(f"eval_ea done in {time.perf_counter() - t0:.0f}s")
+    with open(out / "eval_ea.json", "w") as f:
+        json.dump(results, f, indent=2)
+    for ms, mtr in sorted(results["mean"].items()):
+        print(f"  {ms:3d}ms: " + " ".join(
+            f"{k}={v:.3f}" for k, v in mtr.items()))
+
+
+def stage_feats(out, wavs16):
+    """Frozen-encoder features -> content units (the I_da k-means over
+    HuBERT layer features, cluster_kmeans.py semantics)."""
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hubert import HubertModel
+    from speech_inpainting_tpu.quantize.kmeans import fit_kmeans
+    hp = _load(out / "ea_params.pkl")
+    model = HubertModel(small_hubert())
+    tap = 2
+    feats = {name: np.asarray(model.apply(
+        {"params": hp["hubert"]}, jnp.asarray(w)[None], tap_layer=tap)[0])
+        for name, w in wavs16.items()}
+    allf = np.concatenate(list(feats.values()))
+    centroids, inertia = fit_kmeans(allf, 100, iters=30, n_init=3)
+    print(f"feats: {allf.shape} -> 100 unit centroids, "
+          f"inertia {float(inertia):.1f} (tap layer {tap})")
+    _save(out / "unit_centroids.pkl", {"centroids": centroids, "tap": tap})
+
+
+def stage_f0vq(out, wavs16, steps):
+    """f0-VQVAE training (train_f0_vq.py semantics) on device-tracked f0."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.ops.f0 import extract_f0, normalize_nonzero
+    from speech_inpainting_tpu.models.codegen import FoVQVAE
+    from speech_inpainting_tpu.train.f0vq import (F0VQConfig,
+                                                  create_f0vq_state,
+                                                  make_f0vq_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    cfg = fo_vqvae_cfg()
+    f0s = []
+    for w in wavs16.values():
+        f0 = np.asarray(extract_f0(jnp.asarray(w)))
+        f0 = np.asarray(normalize_nonzero(jnp.asarray(f0),
+                                          float(f0.mean()),
+                                          float(f0.std()) + 1e-8))
+        f0s.append(f0)
+    model = FoVQVAE(cfg)
+    F = 512                                  # 16-frame multiple
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "vq": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, 1, F)), train=True)
+    tcfg = F0VQConfig(model=cfg)
+    state = create_f0vq_state(tcfg, v["params"], v["vq"])
+    step = jax.jit(make_f0vq_step(tcfg))
+    rng = np.random.default_rng(2)
+    B = 8
+
+    def batch():
+        xs = []
+        for _ in range(B):
+            f0 = f0s[rng.integers(len(f0s))]
+            s = rng.integers(0, len(f0) - F)
+            xs.append(f0[s:s + F])
+        return jnp.asarray(np.stack(xs), jnp.float32)[:, None, :]
+
+    key = jax.random.PRNGKey(3)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = step(state, {"f0": batch()}, sub)
+        if i % 100 == 0:
+            force(m)
+            print(f"f0vq step {i}: recon {float(m['recon']):.4f} "
+                  f"commit {float(m['commit']):.4f}", flush=True)
+    _save(out / "f0vq.pkl", {"params": state.params, "vq": state.vq})
+
+
+def stage_da(out, wavs16, steps):
+    """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
+    trained content units + frozen f0-VQVAE pitch units -> waveform."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.codegen import CodeGenerator
+    from speech_inpainting_tpu.models.hifigan import (
+        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from speech_inpainting_tpu.models.hubert import HubertModel
+    from speech_inpainting_tpu.ops.f0 import extract_f0, normalize_nonzero
+    from speech_inpainting_tpu.quantize.kmeans import assign
+    from speech_inpainting_tpu.train.da import (DATrainConfig, GANConfig,
+                                                create_gan_state,
+                                                make_da_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    units_d = _load(out / "unit_centroids.pkl")
+    fovq = _load(out / "f0vq.pkl")
+    hp = _load(out / "ea_params.pkl")
+    fo_cfg = fo_vqvae_cfg()
+    cg_cfg = small_codegen(fo_cfg)
+    hub = HubertModel(small_hubert())
+
+    # per-utterance aligned streams: units (hop 320), f0 (hop 80), audio
+    streams = {}
+    for name, w in wavs16.items():
+        units = np.asarray(assign(
+            np.asarray(hub.apply({"params": hp["hubert"]},
+                                 jnp.asarray(w)[None],
+                                 tap_layer=units_d["tap"])[0]),
+            jnp.asarray(units_d["centroids"])))
+        f0 = np.asarray(extract_f0(jnp.asarray(w)))
+        f0 = np.asarray(normalize_nonzero(
+            jnp.asarray(f0), float(f0.mean()), float(f0.std()) + 1e-8))
+        n = min(len(w) // 320, len(units), len(f0) // 4)
+        streams[name] = (units[:n], f0[:n * 4], w[:n * 320])
+
+    cg = CodeGenerator(cg_cfg)
+    seg, B = 8960, 8                     # 28 code frames (reference 8960)
+    F, Ff = seg // 320, seg // 80
+    v = cg.init(jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.int32),
+                f0=jnp.zeros((1, 1, Ff)), spkr=None)
+    g_params = dict(v["params"])
+    g_params["fo_vqvae"] = fovq["params"]       # trained, then frozen
+    vq_tree = {"fo_vqvae": fovq["vq"]}
+
+    gan = GANConfig(frozen_g_paths=("fo_vqvae",), steps_per_epoch=1000)
+    da_cfg = DATrainConfig(codegen=cg_cfg, gan=gan, segment_size=seg)
+    zy = jnp.zeros((1, 1, seg))
+    mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
+    sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
+    state = create_gan_state(gan, g_params, dp, sv["params"], sv["spectral"])
+    step = jax.jit(make_da_step(da_cfg, vq_tree))
+
+    rng = np.random.default_rng(3)
+    names = list(streams)
+
+    def batch():
+        code = np.zeros((B, F), np.int32)
+        f0 = np.zeros((B, 1, Ff), np.float32)
+        audio = np.zeros((B, 1, seg), np.float32)
+        for b in range(B):
+            u, f, w = streams[names[rng.integers(len(names))]]
+            s = rng.integers(0, len(u) - F)
+            code[b] = u[s:s + F]
+            f0[b, 0] = f[s * 4:s * 4 + Ff]
+            audio[b, 0] = w[s * 320:s * 320 + seg]
+        return {"code": jnp.asarray(code), "f0": jnp.asarray(f0),
+                "audio": jnp.asarray(audio)}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch())
+    force(m)
+    print(f"da: compile {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    for i in range(1, steps):
+        state, m = step(state, batch())
+        if i % 200 == 0:
+            force(m)
+            print(f"da step {i}: mel_error {float(m['mel_error']):.3f} "
+                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
+    force(m)
+    print(f"da final mel_error: {float(m['mel_error']):.3f}")
+    _save(out / "da_g.pkl", state.g_params)
+
+
+def stage_eval_da(out, wavs22, wavs16):
+    """The I_da inpainting protocol: {100..400} ms at fixed 1.5 s."""
+    from speech_inpainting_tpu.infer.ida_inpaint import IdaInpainter
+    from speech_inpainting_tpu.metrics.objective import si_sdr
+    from speech_inpainting_tpu.metrics.pesq import pesq
+    from speech_inpainting_tpu.metrics.stoi import stoi
+
+    units_d = _load(out / "unit_centroids.pkl")
+    hp = _load(out / "ea_params.pkl")
+    cg_params = _load(out / "da_g.pkl")
+    fovq = _load(out / "f0vq.pkl")
+    inp = IdaInpainter(small_codegen(fo_vqvae_cfg()), cg_params,
+                       {"fo_vqvae": fovq["vq"]}, small_hubert(),
+                       hp["hubert"], units_d["centroids"],
+                       tap_layer=units_d["tap"])
+    results = {}
+    for name, w in wavs16.items():
+        results[name] = {}
+        for ms in (100, 200, 300, 400):
+            o = inp(w, mask_size=ms * 16)
+            gt, est = o["audio_gt"], o["audio_inpainted"]
+            n = min(len(gt), len(est))
+            results[name][ms] = {
+                "pesq": float(pesq(gt[:n], est[:n], 16000)),
+                "stoi": float(stoi(gt[:n], est[:n], 16000)),
+                "estoi": float(stoi(gt[:n], est[:n], 16000, extended=True)),
+                "si_sdr": float(si_sdr(est[:n], gt[:n])),
+                "rtf": float(o["rtf"]),
+            }
+            print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
+    agg = {}
+    for per in results.values():
+        for ms, mtr in per.items():
+            for k, v in mtr.items():
+                agg.setdefault(ms, {}).setdefault(k, []).append(v)
+    results["mean"] = {ms: {k: float(np.mean(v)) for k, v in d.items()}
+                       for ms, d in agg.items()}
+    results["protocol"] = ("I_da inpainting: {100..400}ms at fixed 1.5s, "
+                           "informed splice")
+    with open(out / "eval_da.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def stage_report(out, args):
+    ea = json.load(open(out / "eval_ea.json"))
+    da = json.load(open(out / "eval_da.json"))
+    report = {
+        "regime": ("overfit-scale: trained from scratch on the 2 committed "
+                   "reference utterances (no pretrained weights / corpora in "
+                   "this sandbox); numbers validate the pipelines, not "
+                   "paper-scale quality"),
+        "training": {
+            "hifigan_steps": args.hifigan_steps, "ea_steps": args.ea_steps,
+            "f0vq_steps": args.f0vq_steps, "da_steps": args.da_steps,
+            "models": "HiFi-GAN ch192 (22k & 16k), HuBERT h256 L4, "
+                      "f0-VQVAE w128",
+        },
+        "I_ea": {"protocol": ea["protocol"], "mean": ea["mean"]},
+        "I_da": {"protocol": da["protocol"], "mean": da["mean"]},
+    }
+    path = Path(__file__).resolve().parents[1] / "EVAL_r02.json"
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {path}")
+
+
+STAGES = ["kmeans", "hifigan", "ea", "eval_ea", "feats", "f0vq", "da",
+          "eval_da", "report"]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", default="all",
+                   help=f"one of {STAGES} or 'all' or comma list")
+    p.add_argument("--out", default="eval_out")
+    p.add_argument("--hifigan-steps", type=int, default=3000)
+    p.add_argument("--ea-steps", type=int, default=2000)
+    p.add_argument("--f0vq-steps", type=int, default=500)
+    p.add_argument("--da-steps", type=int, default=3000)
+    args = p.parse_args()
+    from speech_inpainting_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    stages = STAGES if args.stage == "all" else args.stage.split(",")
+    wavs22, wavs16 = load_audio()
+    for s in stages:
+        print(f"=== stage {s} ===", flush=True)
+        t0 = time.perf_counter()
+        if s == "kmeans":
+            stage_kmeans(out, wavs22)
+        elif s == "hifigan":
+            stage_hifigan(out, wavs22, args.hifigan_steps)
+        elif s == "ea":
+            stage_ea(out, wavs22, wavs16, args.ea_steps)
+        elif s == "eval_ea":
+            stage_eval_ea(out, wavs22, wavs16)
+        elif s == "feats":
+            stage_feats(out, wavs16)
+        elif s == "f0vq":
+            stage_f0vq(out, wavs16, args.f0vq_steps)
+        elif s == "da":
+            stage_da(out, wavs16, args.da_steps)
+        elif s == "eval_da":
+            stage_eval_da(out, wavs22, wavs16)
+        elif s == "report":
+            stage_report(out, args)
+        else:
+            raise SystemExit(f"unknown stage {s}")
+        print(f"=== {s} done in {time.perf_counter() - t0:.0f}s ===",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache.
+
+The reference pays model build + cuDNN autotune on every process start; here
+the equivalent cold-start cost is XLA compilation — the full HiFi-GAN V1 GAN
+step takes minutes to compile (tunnel-dependent). Enabling jax's persistent
+compilation cache makes that a once-per-machine cost: compiled executables
+are serialized to disk keyed by HLO fingerprint and reloaded on later runs.
+
+Call `enable_persistent_cache()` before the first jit dispatch (training CLIs
+and benchmarks do). Harmless if the backend can't serialize executables —
+jax falls back to compiling (errors are suppressed unless raised explicitly).
+"""
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/speech_inpainting_tpu/xla")
+
+
+def enable_persistent_cache(path: str = DEFAULT_DIR,
+                            min_compile_secs: float = 5.0) -> str:
+    """Point jax's compilation cache at `path`; entries are written for
+    compiles slower than `min_compile_secs`. Returns the cache dir."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    # small entries are cheap to recompile; don't churn the dir with them
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
