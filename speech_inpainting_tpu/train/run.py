@@ -9,6 +9,8 @@ g_/do_ checkpointing, auto-resume from the newest checkpoint.
 from __future__ import annotations
 
 import dataclasses
+import signal
+import threading
 from typing import Callable, Optional
 
 import jax
@@ -32,6 +34,35 @@ class RunConfig:
     validation_interval: int = 1000
     training_steps: Optional[int] = None   # hard step cap (I_da h.training_steps)
     mesh: Optional[object] = None          # jax Mesh for dp sharding
+
+
+class PreemptionGuard:
+    """SIGTERM/SIGINT → checkpoint-and-exit at the next step boundary.
+
+    The reference has no preemption handling (SURVEY.md §5.3: recovery =
+    restart + scan_checkpoint); on managed TPU pools preemption arrives as
+    SIGTERM with a grace window, so the runners save the full train state
+    and return cleanly instead of dying mid-step. Installs handlers only in
+    the main thread (signal module constraint); elsewhere it is inert."""
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.requested = False
+        self._signals = signals
+        self._prev = {}
+
+    def _on(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for s in self._signals:
+                self._prev[s] = signal.signal(s, self._on)
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        return False
 
 
 def _mesh_jit(step_fn: Callable, run: RunConfig):
@@ -62,23 +93,30 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
     jstep, place = _mesh_jit(step_fn, run)
     state = place(state)
     steps = int(state.step)
-    for epoch in range(run.epochs):
-        for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
-            state, metrics = jstep(state, batch)
-            steps += 1
-            logger.step(steps, {k: v for k, v in metrics.items()
-                                if np.ndim(v) == 0})
-            if steps % run.checkpoint_interval == 0:
-                save_gan_checkpoint(ckpt, state, steps)
-            if valid_fn is not None and steps % run.validation_interval == 0:
-                val = valid_fn(state)
-                for k, v in val.items():
-                    logger.scalar(f"validation/{k}", v, steps)
-            if run.training_steps and steps >= run.training_steps:
-                break
-        else:
-            continue
-        break
+    with PreemptionGuard() as pre:
+        for epoch in range(run.epochs):
+            for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+                state, metrics = jstep(state, batch)
+                steps += 1
+                logger.step(steps, {k: v for k, v in metrics.items()
+                                    if np.ndim(v) == 0})
+                if pre.requested:
+                    save_gan_checkpoint(ckpt, state, steps, wait=True)
+                    print(f"preempted: saved g_/do_ at step {steps}")
+                    logger.close()
+                    return state
+                if steps % run.checkpoint_interval == 0:
+                    save_gan_checkpoint(ckpt, state, steps)
+                if valid_fn is not None and \
+                        steps % run.validation_interval == 0:
+                    val = valid_fn(state)
+                    for k, v in val.items():
+                        logger.scalar(f"validation/{k}", v, steps)
+                if run.training_steps and steps >= run.training_steps:
+                    break
+            else:
+                continue
+            break
     save_gan_checkpoint(ckpt, state, steps, wait=True)
     logger.close()
     return state
@@ -93,32 +131,48 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
                          summary_interval=run.summary_interval)
     jstep, place = _mesh_jit(step_fn, run)
+    # full-state resume (params + optimizer + counter): the reference's I_ea
+    # loop restarts from bare model weights only (main.py:259-273); ea_*
+    # checkpoints make restart/preemption lossless
+    full = ckpt.restore("ea_", state)
+    if full is not None:
+        state = full
+        print(f"resumed from step {int(state.step)}")
     state = place(state)
     best_acc = -np.inf
     steps = int(state.step)
-    for epoch in range(run.epochs):
-        for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
-            state, metrics = jstep(state, batch)
-            steps += 1
-            logger.step(steps, {k: v for k, v in metrics.items()
-                                if np.ndim(v) == 0})
-            if steps % run.validation_interval == 0:
-                vals = [eval_fn(state.params, vb)
-                        for vb in make_valid_batches(epoch)]
-                if vals:
-                    mean = {k: float(np.mean([float(v[k]) for v in vals]))
-                            for k in vals[0]}
-                    for k, v in mean.items():
-                        logger.scalar(f"validation/{k}", v, steps)
-                    if mean.get("cos_sim_acc", -np.inf) > best_acc:
-                        best_acc = mean["cos_sim_acc"]
-                        ckpt.save("best_", 0, {"model": state.params})
-            if run.training_steps and steps >= run.training_steps:
-                break
-        else:
-            ckpt.save("last_", 0, {"model": state.params})
-            continue
-        break
+    with PreemptionGuard() as pre:
+        for epoch in range(run.epochs):
+            for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+                state, metrics = jstep(state, batch)
+                steps += 1
+                logger.step(steps, {k: v for k, v in metrics.items()
+                                    if np.ndim(v) == 0})
+                if pre.requested:
+                    ckpt.save("ea_", steps, state, wait=True)
+                    print(f"preempted: saved ea_ at step {steps}")
+                    logger.close()
+                    return state
+                if steps % run.checkpoint_interval == 0:
+                    ckpt.save("ea_", steps, state)
+                if steps % run.validation_interval == 0:
+                    vals = [eval_fn(state.params, vb)
+                            for vb in make_valid_batches(epoch)]
+                    if vals:
+                        mean = {k: float(np.mean([float(v[k]) for v in vals]))
+                                for k in vals[0]}
+                        for k, v in mean.items():
+                            logger.scalar(f"validation/{k}", v, steps)
+                        if mean.get("cos_sim_acc", -np.inf) > best_acc:
+                            best_acc = mean["cos_sim_acc"]
+                            ckpt.save("best_", 0, {"model": state.params})
+                if run.training_steps and steps >= run.training_steps:
+                    break
+            else:
+                ckpt.save("last_", 0, {"model": state.params})
+                continue
+            break
+    ckpt.save("ea_", steps, state)
     ckpt.save("last_", 0, {"model": state.params}, wait=True)
     logger.close()
     return state

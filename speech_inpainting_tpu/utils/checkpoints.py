@@ -85,29 +85,46 @@ class Checkpointer:
 def save_gan_checkpoint(ckpt: Checkpointer, state, step: int,
                         *, wait: bool = False):
     """The reference's paired layout: g_* holds the generator, do_* holds
-    discriminators + both optimizer states + counters."""
-    ckpt.save("g_", step, {"generator": state.g_params}, wait=wait)
-    ckpt.save("do_", step, {
+    discriminators + both optimizer states + counters. The generator's
+    mutable VQ codebooks (joint enc-VQ-dec regime) ride in g_* — the
+    reference stores `k` as a module buffer inside the generator state dict
+    (vq.py:22) — and the restart rng in do_*."""
+    g_tree = {"generator": state.g_params}
+    if state.vq is not None:
+        g_tree["vq"] = state.vq
+    ckpt.save("g_", step, g_tree, wait=wait)
+    do_tree = {
         "mpd": state.d_params["mpd"], "msd": state.d_params["msd"],
         "spectral": state.spectral, "optim_g": state.g_opt,
         "optim_d": state.d_opt, "steps": np.asarray(state.step),
-    }, wait=wait)
+    }
+    if state.rng is not None:
+        do_tree["rng"] = state.rng
+    ckpt.save("do_", step, do_tree, wait=wait)
 
 
 def restore_gan_checkpoint(ckpt: Checkpointer, state):
     """Resume a GAN train state; supports the reference's partial restores
     (generator-only g_* present, or discriminator-only do_*)."""
-    g = ckpt.restore("g_", {"generator": state.g_params})
+    g_tmpl = {"generator": state.g_params}
+    if state.vq is not None:
+        g_tmpl["vq"] = state.vq
+    g = ckpt.restore("g_", g_tmpl)
     if g is not None:
-        state = state.replace(g_params=g["generator"])
-    do = ckpt.restore("do_", {
+        state = state.replace(g_params=g["generator"],
+                              vq=g.get("vq", state.vq))
+    do_tmpl = {
         "mpd": state.d_params["mpd"], "msd": state.d_params["msd"],
         "spectral": state.spectral, "optim_g": state.g_opt,
-        "optim_d": state.d_opt, "steps": np.asarray(state.step)})
+        "optim_d": state.d_opt, "steps": np.asarray(state.step)}
+    if state.rng is not None:
+        do_tmpl["rng"] = state.rng
+    do = ckpt.restore("do_", do_tmpl)
     if do is not None:
         state = state.replace(
             d_params={"mpd": do["mpd"], "msd": do["msd"]},
             spectral=do["spectral"], g_opt=do["optim_g"],
             d_opt=do["optim_d"],
-            step=jax.numpy.asarray(do["steps"]))
+            step=jax.numpy.asarray(do["steps"]),
+            rng=do.get("rng", state.rng))
     return state, g is not None, do is not None
