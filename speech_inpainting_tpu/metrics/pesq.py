@@ -8,10 +8,28 @@ asymmetric disturbances with masking dead-zones, L6/L2 time aggregation, and
 the P.862.2 wideband MOS-LQO sigmoid mapping.
 
 Caveat (stated in README): this is a faithful-structure implementation, NOT
-a certified bit-exact P.862; it is validated for the properties evaluation
-needs — identity ≈ 4.64 (WB ceiling), monotonic degradation with noise /
-distortion, stable range [~1, 4.64]. Use it for relative comparisons, and
-the certified `pesq` binary for standardized reporting when available.
+a certified bit-exact P.862; use it for relative comparisons, and the
+certified `pesq` binary for standardized reporting when available.
+
+Validity envelope (measured on LJ001-0001 @16 kHz, pinned by
+tests/test_metrics.py::test_pesq_degradation_families):
+  - identity / pure gain: 4.64 (WB ceiling)
+  - constant delay ±50 ms: ≥ 4.56 — the coarse envelope-correlation
+    alignment (below) compensates constant delays like certified PESQ's
+    time-alignment stage; time-VARYING delay within an utterance is NOT
+    handled (certified PESQ splits utterances and re-aligns; this
+    implementation estimates one global delay)
+  - amplitude clipping at {0.5, 0.25, 0.1, 0.05}×peak:
+    {4.34, 3.56, 2.27, 1.71} — monotone, in the published P.862 ballpark
+  - butterworth lowpass at {7k, 4k, 2k, 1k, 0.5k} Hz:
+    {4.44, 3.50, 2.78, 2.06, 1.86} — monotone (published P.862 rates a
+    2 kHz bandlimit ≈ 2.5–3.0)
+  - additive white noise {30, 20, 10, 0} dB SNR:
+    {4.09, 2.90, 1.39, 1.12} — monotone but STEEPER than published P.862
+    at/below 10 dB SNR (certified ≈ 1.8–2.2 at 10 dB); rankings near that
+    regime may compress
+  - monotonicity agrees with STOI and SI-SDR on all of the above families
+    (except delay, where STOI intentionally penalizes misalignment)
 """
 from __future__ import annotations
 

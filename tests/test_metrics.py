@@ -126,3 +126,47 @@ def test_pesq_monotonic_and_calibrated(rng):
 
     with pytest.raises(ValueError):
         pesq(np.zeros(100), np.zeros(100), 16000)
+
+
+def test_pesq_degradation_families(rng):
+    """Anchor tests beyond white noise (VERDICT r1 #8): temporal shift
+    (exercises the constant-delay alignment), clipping, band-limiting —
+    with cross-metric monotonicity against STOI. Values pin the measured
+    validity envelope documented in metrics/pesq.py."""
+    from scipy.signal import butter, lfilter
+
+    from speech_inpainting_tpu.data.audio import load_wav
+    from speech_inpainting_tpu.metrics.pesq import pesq
+    from speech_inpainting_tpu.metrics.stoi import stoi
+
+    wav, sr = load_wav(
+        "/root/reference/I_ea/hifi_gan/test_files/LJ001-0001_16k.wav")
+    wav = wav[:16000 * 4]
+
+    # constant delay is compensated (certified PESQ aligns too): near ceiling
+    for ms in (5, 20, 50):
+        deg = np.concatenate([np.zeros(sr * ms // 1000), wav])[:len(wav)]
+        assert pesq(wav, deg, sr) > 4.4, f"shift {ms}ms"
+
+    # clipping: monotone, and agrees with STOI's ordering
+    peaks = (0.5, 0.25, 0.1, 0.05)
+    p_scores = [pesq(wav, np.clip(wav, -f * np.abs(wav).max(),
+                                  f * np.abs(wav).max()), sr)
+                for f in peaks]
+    s_scores = [stoi(wav, np.clip(wav, -f * np.abs(wav).max(),
+                                  f * np.abs(wav).max()), sr)
+                for f in peaks]
+    assert all(a > b for a, b in zip(p_scores, p_scores[1:])), p_scores
+    assert all(a > b for a, b in zip(s_scores, s_scores[1:])), s_scores
+    assert 4.0 < p_scores[0] < 4.64 and p_scores[-1] < 2.2
+
+    # band-limiting: monotone with cutoff, and mild highpass barely hurts
+    cuts = (7000, 4000, 2000, 1000)
+    lp = []
+    for fc in cuts:
+        b, a = butter(6, fc / (sr / 2))
+        lp.append(pesq(wav, lfilter(b, a, wav), sr))
+    assert all(x > y for x, y in zip(lp, lp[1:])), lp
+    assert lp[0] > 4.2 and 2.3 < lp[2] < 3.3       # 2 kHz ~ published 2.5-3
+    b, a = butter(4, 100 / (sr / 2), btype="high")
+    assert pesq(wav, lfilter(b, a, wav), sr) > 4.5
