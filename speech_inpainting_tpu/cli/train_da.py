@@ -21,7 +21,7 @@ from ..data.manifests import parse_manifest
 from ..models.codegen import CodeGenerator, CodeGeneratorConfig
 from ..models.hifigan import MultiPeriodDiscriminator, MultiScaleDiscriminator
 from ..ops.mel import MelConfig
-from ..train.da import DATrainConfig, make_da_step
+from ..train.da import DATrainConfig, create_da_state, make_da_step
 from ..train.gan import GANConfig, create_gan_state
 from ..train.run import RunConfig, run_gan_training
 
@@ -90,16 +90,24 @@ def main(argv=None):
                                     "vq": vq_tree["fo_vqvae"]})
             fo_params, fo_vq = got["params"], got["vq"]
         gp = {**gp, "fo_vqvae": fo_params}
-        vq_tree = {"fo_vqvae": fo_vq}
+        vq_tree = {**vq_tree, "fo_vqvae": fo_vq}
         print(f"loaded frozen f0 quantizer from {args.f0_quantizer}")
 
-    step = make_da_step(cfg, vq_tree)
     x = jnp.zeros((1, 1, cfg.segment_size))
     mpd = MultiPeriodDiscriminator().init(jax.random.PRNGKey(1), x, x)["params"]
     msdv = MultiScaleDiscriminator().init(
         {"params": jax.random.PRNGKey(2)}, x, x, True)
-    state = create_gan_state(cfg.gan, gp, mpd, msdv["params"],
-                             msdv["spectral"])
+    if ccfg.code_encoder is not None:
+        # joint enc-VQ-dec regime: the content codebook trains per step,
+        # threaded through the state (scripts/train.py:99-112 regime)
+        step = make_da_step(cfg)
+        state = create_da_state(cfg, gp, mpd, msdv["params"],
+                                msdv["spectral"], vq=vq_tree,
+                                seed=args.seed)
+    else:
+        step = make_da_step(cfg, vq_tree)
+        state = create_gan_state(cfg.gan, gp, mpd, msdv["params"],
+                                 msdv["spectral"])
 
     mesh = None
     if args.mesh:
