@@ -56,6 +56,11 @@ class InpainterConfig:
     hubert: HubertConfig
     hifigan: HiFiGANConfig
     normalize_16k: bool = True  # HF processor do_normalize
+    # serving-engine options: fold weight norm once (models/hifigan_fast.py)
+    # and run winning resblocks through the fused Pallas kernel
+    fast_generator: bool = False
+    pallas_max_channels: int = 0
+    pallas_skip: frozenset = frozenset()
 
 
 def _masked_mel22(wav22, mask_pos, mask_len):
@@ -89,9 +94,19 @@ class InformedInpainter:
                  centroids):
         self.cfg = cfg
         self._hubert = EncoderWithHead(cfg.hubert, out_dim=centroids.shape[-1])
-        self._gen = Generator(cfg.hifigan)
         self._hubert_params = hubert_params
-        self._gen_params = generator_params
+        if cfg.fast_generator:
+            from ..models.hifigan_fast import FastGenerator
+            engine = FastGenerator.from_params(
+                cfg.hifigan, generator_params,
+                pallas_max_channels=cfg.pallas_max_channels,
+                pallas_skip=cfg.pallas_skip)
+            self._gen_apply = engine.apply
+            self._gen_params = engine.folded
+        else:
+            gen = Generator(cfg.hifigan)
+            self._gen_apply = lambda gp, mel: gen.apply({"params": gp}, mel)
+            self._gen_params = generator_params
         C = jnp.asarray(centroids, jnp.float32)
         self._center = C.mean(axis=0)
         self._C_centered = C - self._center[None, :]
@@ -122,7 +137,7 @@ class InformedInpainter:
         pred_mels = Cc[pred_labels] + center                  # (B, T, 80)
 
         inpainted_mel = _splice(mel, pred_mels, mask_pos, mask_len)
-        wav = self._gen.apply({"params": gp}, extend_mel(inpainted_mel))
+        wav = self._gen_apply(gp, extend_mel(inpainted_mel))
         return dict(inpainted=wav[:, 0], mel_masked=mel,
                     mel_inpainted=inpainted_mel, pred_labels=pred_labels)
 
@@ -133,13 +148,13 @@ class InformedInpainter:
         mel = _masked_mel22(wav22, mask_pos, mask_len)
         exp_mels = Cc[labels] + center                        # (B, T, 80)
         exp_mel = _splice(mel, exp_mels, mask_pos, mask_len)
-        wav = self._gen.apply({"params": gp}, extend_mel(exp_mel))
+        wav = self._gen_apply(gp, extend_mel(exp_mel))
         return dict(expected_inpaint=wav[:, 0], mel_expected=exp_mel)
 
     def _hifi_masked_impl(self, gp, wav22, mask_pos, mask_len):
         """Reference 'hifi_masked.wav': vocode the masked mel as-is."""
         mel = _masked_mel22(wav22, mask_pos, mask_len)
-        wav = self._gen.apply({"params": gp}, extend_mel(mel))
+        wav = self._gen_apply(gp, extend_mel(mel))
         return wav[:, 0]
 
     # --- user API ---------------------------------------------------------
@@ -161,6 +176,16 @@ class InformedInpainter:
                            jnp.asarray(wav16, jnp.float32),
                            jnp.asarray(mask_pos, jnp.int32),
                            jnp.asarray(mask_len, jnp.int32))
+
+    def batch_expected(self, wav22, target_labels, mask_pos, mask_len):
+        """Batched oracle: target_labels (B, F) are the TRUE centroid ids on
+        the full mel frame grid (only the masked span is spliced in)."""
+        return self._expected_graph(
+            self._gen_params, self._C_centered, self._center,
+            jnp.asarray(wav22, jnp.float32),
+            jnp.asarray(target_labels, jnp.int32),
+            jnp.asarray(mask_pos, jnp.int32),
+            jnp.asarray(mask_len, jnp.int32))
 
     def expected_inpaint(self, wav22, target_labels, mask_pos, mask_len):
         out = self._expected_graph(

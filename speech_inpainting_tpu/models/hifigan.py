@@ -225,11 +225,12 @@ class DiscriminatorS(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    scales: int = 3
 
     @nn.compact
     def __call__(self, y, y_hat, train: bool = True):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.scales):
             d = DiscriminatorS(use_spectral_norm=(i == 0), dtype=self.dtype,
                                name=f"discriminators_{i}")
             if i != 0:

@@ -7,12 +7,12 @@ inference) and leaves each MRF conv as a separate XLA op. This engine:
   2. can run the small-channel late-stage residual conv pairs through the
      fused Pallas kernel (ops/pallas_resblock.py).
 
-Measured on v5e: with double-buffered halo DMA the Pallas path wins the
-f32 full-generator graph at C≤32 (B16×4s: flax 117.7 ms, fast-XLA 109.6,
-fast+pallas 107.2) but loses at C=64 and in bf16 (B64: flax 199.7,
-fast-XLA 191.4, fast+pallas 305.7 — Mosaic lacks bf16 predication, forcing
-f32 upcasts). Since the serving configuration is bf16, the Pallas path is
-OFF by default (`pallas_max_channels=0`); enable it for f32 deployments.
+Measured on v5e (round 2, whole-block im2col kernel `fused_resblock1`):
+the Pallas path now wins in bf16 too — per-block 1.2-2.6× vs the XLA
+chain at C≤64 (see ops/pallas_resblock.py docstring for the table); the
+one measured loss is (C=32, K=11) at B64, excluded via `pallas_skip`.
+Defaults keep the path OFF (`pallas_max_channels=0`) so CPU runs never
+need interpret mode; serving configs enable it explicitly (bench.py).
 
 Numerically matches Generator.apply to float tolerance
 (tests/test_pallas.py).
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.conv import (conv1d, conv_transpose1d, get_padding,
                         weight_norm_kernel)
-from ..ops.pallas_resblock import fused_resblock_step
+from ..ops.pallas_resblock import fused_resblock1
 from .hifigan import HiFiGANConfig
 
 LRELU_SLOPE = 0.1
@@ -40,45 +40,71 @@ def _fold(p: Dict) -> Dict:
 @dataclasses.dataclass
 class FastGenerator:
     """Folded-weight generator; `pallas_max_channels` gates the fused path
-    (0 disables it, e.g. for CPU tests without interpret mode)."""
+    (0 disables it, e.g. for CPU tests without interpret mode).
+    `pallas_skip` removes specific (channels, kernel_size) blocks where the
+    measured per-shape numbers favor XLA even under the channel cap."""
     cfg: HiFiGANConfig
     folded: Dict[str, Any]
     pallas_max_channels: int = 0
     interpret: bool = False
+    pallas_tile: int = 2048
+    pallas_skip: frozenset = frozenset()
 
     @staticmethod
     def from_params(cfg: HiFiGANConfig, params: Dict,
                     pallas_max_channels: int = 0,
-                    interpret: bool = False) -> "FastGenerator":
+                    interpret: bool = False,
+                    pallas_tile: int = 2048,
+                    pallas_skip: frozenset = frozenset()
+                    ) -> "FastGenerator":
         folded = {"conv_pre": _fold(params["conv_pre"]),
                   "conv_post": _fold(params["conv_post"])}
         for i in range(len(cfg.upsample_rates)):
             folded[f"ups_{i}"] = _fold(params[f"ups_{i}"])
             for j in range(len(cfg.resblock_kernel_sizes)):
                 blk = params[f"resblocks_{i}_{j}"]
-                fb = {}
-                for name, p in blk.items():
-                    fb[name] = _fold(p)
+                fb = {name: _fold(p) for name, p in blk.items()}
+                if cfg.resblock == "1":
+                    # stack the block's conv pairs (S, C, C, K) so the
+                    # whole-block Pallas kernel gets them in one shot
+                    s = len(cfg.resblock_dilation_sizes[j])
+                    fb = {
+                        "w1": jnp.stack(
+                            [fb[f"convs1_{i_}"]["w"] for i_ in range(s)]),
+                        "b1": jnp.stack(
+                            [fb[f"convs1_{i_}"]["b"] for i_ in range(s)]),
+                        "w2": jnp.stack(
+                            [fb[f"convs2_{i_}"]["w"] for i_ in range(s)]),
+                        "b2": jnp.stack(
+                            [fb[f"convs2_{i_}"]["b"] for i_ in range(s)]),
+                    }
                 folded[f"resblocks_{i}_{j}"] = fb
-        return FastGenerator(cfg, folded, pallas_max_channels, interpret)
+        if cfg.dtype != jnp.float32:
+            # match the flax module's dtype semantics (params + activations
+            # cast to cfg.dtype at apply time; hifigan.py:40)
+            folded = jax.tree_util.tree_map(
+                lambda a: a.astype(cfg.dtype), folded)
+        return FastGenerator(cfg, folded, pallas_max_channels, interpret,
+                             pallas_tile, pallas_skip)
 
     def _resblock1(self, x, blk, kernel_size: int, dilations):
         c = x.shape[1]
-        use_pallas = (c <= self.pallas_max_channels and c % 8 == 0)
+        if (c <= self.pallas_max_channels and c % 8 == 0
+                and (c, kernel_size) not in self.pallas_skip):
+            return fused_resblock1(
+                x, blk["w1"], blk["b1"], blk["w2"], blk["b2"],
+                dilations=tuple(int(d) for d in dilations),
+                tile=self.pallas_tile, interpret=self.interpret)
         for i, d in enumerate(dilations):
-            p1, p2 = blk[f"convs1_{i}"], blk[f"convs2_{i}"]
-            if use_pallas:
-                x = fused_resblock_step(x, p1["w"], p1["b"], p2["w"],
-                                        p2["b"], dilation=int(d),
-                                        interpret=self.interpret)
-            else:
-                xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
-                xt = conv1d(xt, p1["w"], p1["b"], dilation=int(d),
-                            padding=get_padding(kernel_size, int(d)))
-                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-                xt = conv1d(xt, p2["w"], p2["b"], dilation=1,
-                            padding=get_padding(kernel_size, 1))
-                x = x + xt
+            w1, b1 = blk["w1"][i], blk["b1"][i]
+            w2, b2 = blk["w2"][i], blk["b2"][i]
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = conv1d(xt, w1, b1, dilation=int(d),
+                        padding=get_padding(kernel_size, int(d)))
+            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = conv1d(xt, w2, b2, dilation=1,
+                        padding=get_padding(kernel_size, 1))
+            x = x + xt
         return x
 
     def _resblock2(self, x, blk, kernel_size: int, dilations):
@@ -92,10 +118,18 @@ class FastGenerator:
 
     def __call__(self, mel):
         """mel/features (B, in_dim, T) → waveform (B, 1, T·∏upsample)."""
+        return self.apply(self.folded, mel)
+
+    def apply(self, folded, mel):
+        """Pure forward over an explicit folded-param tree — lets callers
+        jit with the params as ARGUMENTS (required on remote-compile
+        backends, see infer/inpaint.py module docstring) instead of baked
+        closure constants."""
         cfg = self.cfg
-        f = self.folded
+        f = folded
         num_kernels = len(cfg.resblock_kernel_sizes)
-        x = conv1d(mel, f["conv_pre"]["w"], f["conv_pre"]["b"], padding=3)
+        x = conv1d(mel.astype(cfg.dtype), f["conv_pre"]["w"],
+                   f["conv_pre"]["b"], padding=3)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates,
                                        cfg.upsample_kernel_sizes)):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)

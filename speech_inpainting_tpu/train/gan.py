@@ -88,7 +88,7 @@ def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,
 
 
 def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
-                  *, stateful_vq: bool = False):
+                  *, stateful_vq: bool = False, mpd=None, msd=None):
     """Build step(state, batch) -> (state, metrics).
 
     generator_fwd(g_params, batch) -> ŷ (B, 1, T) or (ŷ, commit_loss).
@@ -103,9 +103,11 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
     batch must contain 'audio' (B, 1, T) ground truth; 'mel_loss'
     (B, n_mels, F) is used if present, else computed in-graph as
     mel_fn(audio) — the TPU-first default (no host mel precompute).
+    mpd/msd: optional discriminator module overrides (reduced stacks keep
+    integration-test compiles tractable; production uses the defaults).
     """
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    mpd = mpd or MultiPeriodDiscriminator()
+    msd = msd or MultiScaleDiscriminator()
     g_opt, d_opt = _make_g_opt(cfg), _make_opt(cfg)
     has_commit = cfg.lambda_commit > 0 or stateful_vq
 

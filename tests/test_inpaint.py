@@ -143,3 +143,42 @@ def test_inpaint_mask_edge_cases(rng):
     out = inp(wav22, wav16, 10, 0)
     np.testing.assert_array_equal(np.asarray(out["mel_inpainted"]),
                                   np.asarray(out["mel_masked"]))
+
+
+def test_fast_engine_matches_flax_generator(rng):
+    """InpainterConfig(fast_generator=True) — the folded weight-norm engine
+    (models/hifigan_fast.py, the remove_weight_norm fold of reference
+    models.py:125-132) — reproduces the flax-Generator graphs."""
+    hcfg = HubertConfig(conv_dim=(8,) * 7, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=24,
+                        num_conv_pos_embeddings=15,
+                        num_conv_pos_embedding_groups=1)
+    gcfg = HiFiGANConfig(upsample_rates=(8, 8, 2, 2),
+                         upsample_kernel_sizes=(16, 16, 4, 4),
+                         upsample_initial_channel=16,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    centroids = rng.standard_normal((7, 80)).astype(np.float32)
+    hub = EncoderWithHead(hcfg, out_dim=80)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    gen = Generator(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 8)))["params"]
+    slow = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
+                             hp, gp, centroids)
+    fast = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg,
+                                             fast_generator=True),
+                             hp, gp, centroids)
+    w22 = (rng.standard_normal((2, 22050)) * 0.1).astype(np.float32)
+    w16 = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+    pos = np.array([10, 20], np.int32)
+    ln = np.array([5, 3], np.int32)
+    a, b = slow.batch(w22, w16, pos, ln), fast.batch(w22, w16, pos, ln)
+    np.testing.assert_array_equal(np.asarray(a["pred_labels"]),
+                                  np.asarray(b["pred_labels"]))
+    np.testing.assert_allclose(np.asarray(a["inpainted"]),
+                               np.asarray(b["inpainted"]), atol=2e-5)
+    labels = np.zeros((2, 100), np.int32)
+    ea = slow.batch_expected(w22, labels, pos, ln)
+    eb = fast.batch_expected(w22, labels, pos, ln)
+    np.testing.assert_allclose(np.asarray(ea["expected_inpaint"]),
+                               np.asarray(eb["expected_inpaint"]), atol=2e-5)

@@ -8,7 +8,37 @@ import jax.numpy as jnp
 from speech_inpainting_tpu.models.hifigan import Generator, HiFiGANConfig
 from speech_inpainting_tpu.models.hifigan_fast import FastGenerator
 from speech_inpainting_tpu.ops.conv import conv1d, get_padding
-from speech_inpainting_tpu.ops.pallas_resblock import fused_resblock_step
+from speech_inpainting_tpu.ops.pallas_resblock import (fused_resblock1,
+                                                       fused_resblock_step)
+
+
+def _unfused_resblock1(x, w1, b1, w2, b2, dilations, K):
+    for s, d in enumerate(dilations):
+        h = jax.nn.leaky_relu(x, 0.1)
+        h = conv1d(h, w1[s], b1[s], dilation=d, padding=get_padding(K, d))
+        h = jax.nn.leaky_relu(h, 0.1)
+        h = conv1d(h, w2[s], b2[s], dilation=1, padding=get_padding(K, 1))
+        x = x + h
+    return x
+
+
+def test_fused_resblock1_full_block(rng):
+    """The whole-block kernel (all 3 dilation steps fused) matches the
+    chained unfused composition, including signal-edge zero padding."""
+    for (B, C, T, K) in [(2, 32, 300, 3), (1, 16, 257, 11)]:
+        dils = (1, 3, 5)
+        S = len(dils)
+        x = jnp.asarray(rng.standard_normal((B, C, T)).astype(np.float32))
+        w1 = jnp.asarray(
+            rng.standard_normal((S, C, C, K)).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(
+            rng.standard_normal((S, C, C, K)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal((S, C)).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.standard_normal((S, C)).astype(np.float32) * 0.1)
+        want = np.asarray(_unfused_resblock1(x, w1, b1, w2, b2, dils, K))
+        got = np.asarray(fused_resblock1(x, w1, b1, w2, b2, dilations=dils,
+                                         tile=128, interpret=True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
 
 
 def test_fused_resblock_matches_unfused(rng):
