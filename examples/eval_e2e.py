@@ -81,8 +81,10 @@ def small_hubert():
 def small_codegen(fo_cfg):
     from speech_inpainting_tpu.models.codegen import CodeGeneratorConfig
     from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
+    # kernel 11 for rate 5: an even kernel with an odd rate yields T*5+1
+    # frames per transpose (the reference's VCTK config also pairs 5 with 11)
     hifi = HiFiGANConfig(upsample_rates=(5, 4, 4, 4),
-                         upsample_kernel_sizes=(10, 8, 8, 8),
+                         upsample_kernel_sizes=(11, 8, 8, 8),
                          upsample_initial_channel=192,
                          resblock_kernel_sizes=(3, 7),
                          resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
@@ -248,21 +250,31 @@ def stage_ea(out, wavs22, wavs16, steps):
 
 
 def stage_eval_ea(out, wavs22, wavs16):
-    """The I_ea mask-sweep protocol with the trained stack."""
+    """The I_ea mask-sweep protocol with the trained stack. Oracle label
+    tracks (the reference's <wav>_labels.pt role) enable the vs-expected
+    metrics that isolate inpainting error from vocoder quality."""
+    import jax.numpy as jnp
     from speech_inpainting_tpu.infer.inpaint import (InformedInpainter,
                                                      InpainterConfig)
     from speech_inpainting_tpu.infer.evaluate import (build_mask_sweep,
                                                       evaluate_sweep)
+    from speech_inpainting_tpu.ops.mel import (HUBERT_ALIGNED_MEL_22K,
+                                               mel_spectrogram)
+    from speech_inpainting_tpu.quantize.kmeans import assign
     hp = _load(out / "ea_params.pkl")
     gp = _load(out / "hifigan_g.pkl")
     centroids = _load(out / "centroids.pkl")
     inp = InformedInpainter(
         InpainterConfig(hubert=small_hubert(), hifigan=small_hifigan_22k()),
         hp, gp, centroids)
+    labels = {name: np.asarray(assign(
+        jnp.asarray(np.asarray(mel_spectrogram(
+            jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
+        jnp.asarray(centroids))) for name, w in wavs22.items()}
     sweep = build_mask_sweep({n: len(w) for n, w in wavs16.items()},
                              n_positions=20)
     t0 = time.perf_counter()
-    results = evaluate_sweep(inp, wavs22, wavs16, sweep)
+    results = evaluate_sweep(inp, wavs22, wavs16, sweep, labels=labels)
     results["protocol"] = ("I_ea mask_pos_len: {20..400}ms x 20 positions, "
                            "informed inpainting")
     print(f"eval_ea done in {time.perf_counter() - t0:.0f}s")

@@ -58,13 +58,23 @@ def load_mask_sweep(path):
 
 def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
                         positions_samples: Sequence[int], mask_ms: int,
-                        *, whisper=None, target_text: Optional[str] = None
+                        *, whisper=None, target_text: Optional[str] = None,
+                        true_labels: Optional[np.ndarray] = None
                         ) -> Dict[str, float]:
     """Score one wav × one mask length over all positions (one device batch).
 
     Metrics are computed between the inpainted output and the clean 22 kHz
     waveform (trimmed to the generator's output grid). Returns means over
     positions (+ WER/CER when a WhisperScorer and target text are given).
+
+    When `true_labels` (the full-grid oracle centroid ids, as the reference
+    loads from <wav>_labels.pt, predict.py:160-163) is given, also scores the
+    prediction against the reference's 'expected_inpaint' oracle — the two
+    resyntheses differ ONLY inside the mask, so these isolate inpainting
+    error from vocoder quality:
+      *_vs_exp    — inpainted vs expected_inpaint waveform metrics
+      unit_acc    — predicted centroid ids == oracle ids in the masked span
+      mel_l1_mask — |mel_inpainted − mel_expected| L1 over the masked span
     """
     n = len(positions_samples)
     mask_len_frames = mask_ms // 20
@@ -78,8 +88,24 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
     ref = wav22[:t_out]
     ref_mel = np.asarray(mel_spectrogram(ref, HUBERT_ALIGNED_MEL_22K))
 
+    expected = None
+    if true_labels is not None:
+        f_grid = out["mel_inpainted"].shape[-1]
+        lab = np.zeros(f_grid, np.int32)
+        m = min(f_grid, len(true_labels))
+        lab[:m] = np.asarray(true_labels[:m], np.int32)
+        exp_out = inpainter.batch_expected(
+            np.tile(wav22[None], (n, 1)), np.tile(lab[None], (n, 1)),
+            mask_pos, np.full(n, mask_len_frames, np.int32))
+        expected = np.asarray(exp_out["expected_inpaint"])
+        mel_exp = np.asarray(exp_out["mel_expected"])
+        mel_inp = np.asarray(out["mel_inpainted"])
+        pred_labels = np.asarray(out["pred_labels"])
+
     scores = {"pesq": [], "stoi": [], "estoi": [], "si_sdr": [],
-              "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": []}
+              "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": [],
+              "pesq_vs_exp": [], "stoi_vs_exp": [], "estoi_vs_exp": [],
+              "si_sdr_vs_exp": [], "unit_acc": [], "mel_l1_mask": []}
     for i in range(n):
         est = inpainted[i]
         scores["pesq"].append(pesq(ref, est, 22050))
@@ -92,6 +118,19 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
                                                 est_mel[:, :m].T))
         scores["lsd_rmse"].append(log_spectral_rmse(ref_mel[:, :m].T,
                                                     est_mel[:, :m].T))
+        if expected is not None:
+            exp = expected[i]
+            scores["pesq_vs_exp"].append(pesq(exp, est, 22050))
+            scores["stoi_vs_exp"].append(stoi(exp, est, 22050))
+            scores["estoi_vs_exp"].append(stoi(exp, est, 22050,
+                                               extended=True))
+            scores["si_sdr_vs_exp"].append(si_sdr(est, exp))
+            p, L = int(mask_pos[i]), mask_len_frames
+            span_pred = pred_labels[i, p:p + L]
+            span_true = lab[p:p + L]
+            scores["unit_acc"].append(float((span_pred == span_true).mean()))
+            scores["mel_l1_mask"].append(float(np.abs(
+                mel_inp[i, :, p:p + L] - mel_exp[i, :, p:p + L]).mean()))
         if whisper is not None and target_text:
             w, c, _ = whisper.wer_cer(est, 22050, target_text)
             scores["wer"].append(w)
@@ -101,10 +140,12 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
 
 def evaluate_sweep(inpainter, wavs22: Dict[str, np.ndarray],
                    wavs16: Dict[str, np.ndarray], sweep: Dict,
-                   *, whisper=None, texts: Optional[Dict[str, str]] = None
-                   ) -> Dict:
+                   *, whisper=None, texts: Optional[Dict[str, str]] = None,
+                   labels: Optional[Dict[str, np.ndarray]] = None) -> Dict:
     """Full protocol: every wav × mask length × position. Returns
-    {wav: {mask_ms: metrics}} plus 'mean' aggregates per mask length."""
+    {wav: {mask_ms: metrics}} plus 'mean' aggregates per mask length.
+    `labels`: optional {wav: full-grid oracle centroid ids} enabling the
+    vs-expected metrics (see evaluate_inpainting)."""
     results: Dict = {}
     for name, per_len in sweep.items():
         results[name] = {}
@@ -112,7 +153,8 @@ def evaluate_sweep(inpainter, wavs22: Dict[str, np.ndarray],
             results[name][ms] = evaluate_inpainting(
                 inpainter, wavs22[name], wavs16[name], positions, ms,
                 whisper=whisper,
-                target_text=(texts or {}).get(name))
+                target_text=(texts or {}).get(name),
+                true_labels=(labels or {}).get(name))
     agg: Dict[int, Dict[str, float]] = {}
     for name, per_len in results.items():
         for ms, metrics in per_len.items():

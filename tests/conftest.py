@@ -17,6 +17,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Heavy graphs (mesh-jitted GAN steps) compile once per machine, not per run.
+from speech_inpainting_tpu.utils.cache import enable_persistent_cache  # noqa: E402,E501
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

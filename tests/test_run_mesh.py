@@ -34,7 +34,11 @@ def build_gan(rng):
     mel_in = rng.standard_normal((8, 80, SEG // 16)).astype(np.float32)
     y = (rng.standard_normal((8, 1, SEG)) * 0.2).astype(np.float32)
     gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
-    mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    # reduced discriminator stacks: the full MPD×5+MSD×3 mesh-jitted GAN
+    # step takes tens of minutes to compile on the 8-device CPU backend;
+    # the runner wiring under test is identical either way
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    msd = MultiScaleDiscriminator(scales=2)
     yz = jnp.zeros((1, 1, SEG))
     dp = mpd.init(jax.random.PRNGKey(1), yz, yz)["params"]
     sv = msd.init(jax.random.PRNGKey(2), yz, yz, True)
@@ -43,7 +47,8 @@ def build_gan(rng):
     def gen_fwd(g_params, batch):
         return gen.apply({"params": g_params}, batch["mel"])
 
-    step = make_gan_step(gen_fwd, lambda w: mel_spectrogram(w, MEL), gan_cfg)
+    step = make_gan_step(gen_fwd, lambda w: mel_spectrogram(w, MEL), gan_cfg,
+                         mpd=mpd, msd=msd)
     state = create_gan_state(gan_cfg, gp, dp, sv["params"], sv["spectral"])
     batch = {"mel": mel_in, "audio": y,
              "mel_loss": np.asarray(mel_spectrogram(jnp.asarray(y[:, 0]),
