@@ -8,11 +8,15 @@ inference) and leaves each MRF conv as a separate XLA op. This engine:
      fused Pallas kernel (ops/pallas_resblock.py).
 
 Measured on v5e (round 2, whole-block im2col kernel `fused_resblock1`):
-the Pallas path now wins in bf16 too — per-block 1.2-2.6× vs the XLA
-chain at C≤64 (see ops/pallas_resblock.py docstring for the table); the
-one measured loss is (C=32, K=11) at B64, excluded via `pallas_skip`.
-Defaults keep the path OFF (`pallas_max_channels=0`) so CPU runs never
-need interpret mode; serving configs enable it explicitly (bench.py).
+ISOLATED the Pallas path now wins in bf16 too — per-block 1.2-2.6× vs
+the XLA chain at C≤64, B16-64 (table in ops/pallas_resblock.py) — but
+COMPOSED into the full flagship inpainting graph it loses at serving
+batches (B256: flax 734 ms vs pallas64 1029-1059; B64: 360 vs 388-405):
+XLA fuses the resblock chain with the surrounding upsample convs and
+re-lays-out across block boundaries, which the custom-call boundary
+forbids. Default therefore stays OFF (`pallas_max_channels=0`) — a
+data-closed negative result for in-graph serving; the kernel remains the
+right primitive for standalone/small-graph resblock workloads.
 
 Numerically matches Generator.apply to float tolerance
 (tests/test_pallas.py).

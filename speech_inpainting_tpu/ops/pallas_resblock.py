@@ -27,6 +27,9 @@ Two kernels:
             C64 K3/K11 1.2×;  f32: C32 K3 1.12×.
     Hardware numerics: f32 ≤2e-7 rel vs HIGHEST-precision XLA; bf16
     ~5e-3 rel vs XLA's own bf16 chain (both are single-pass MXU).
+    Composed into the full generator graph the custom-call boundary
+    blocks XLA's cross-block fusion and the net is a loss at serving
+    batches (see models/hifigan_fast.py) — serving keeps the XLA path.
 
 Inference fast path (no custom VJP); training uses the XLA path. Numerics
 match the ops.conv/leaky_relu composition (tests/test_pallas.py); CPU test
