@@ -209,11 +209,302 @@ void resample_poly(const float* in, int64_t in_len, int up, int down,
   }
 }
 
+// ---------------------------------------------------------------- FLAC
+// From-scratch FLAC decoder (the VCTK corpus ships 48 kHz mic flacs,
+// I_ea/dataset/preprocessing.py:379-390; libsndfile/librosa are absent by
+// design). Subset of the format spec sufficient for any native FLAC file:
+// STREAMINFO metadata, frames with constant/verbatim/fixed/LPC subframes,
+// 4- and 5-bit Rice residuals with escapes, wasted bits, and all four
+// channel assignments (independent, left/side, right/side, mid/side).
+// CRCs are not verified (decode integrity is covered by tests).
+
+class BitReader {
+ public:
+  BitReader(const uint8_t* data, size_t size) : d_(data), n_(size) {}
+
+  uint32_t bits(int n) {  // n in [0, 32]
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      const size_t byte = pos_ >> 3;
+      if (byte >= n_) {
+        ok_ = false;
+        return 0;
+      }
+      v = (v << 1) | ((d_[byte] >> (7 - (pos_ & 7))) & 1u);
+      ++pos_;
+    }
+    return v;
+  }
+
+  int64_t sbits(int n) {  // sign-extended
+    if (n == 0) return 0;
+    uint64_t v = bits(n);
+    const uint64_t sign = 1ull << (n - 1);
+    return static_cast<int64_t>((v ^ sign)) - static_cast<int64_t>(sign);
+  }
+
+  uint32_t unary() {  // count 0s until the terminating 1
+    uint32_t q = 0;
+    while (ok_ && bits(1) == 0) ++q;
+    return q;
+  }
+
+  uint64_t utf8() {  // FLAC extended UTF-8 coded number (frame header)
+    uint32_t b0 = bits(8);
+    int extra = 0;
+    uint64_t v = 0;
+    if ((b0 & 0x80u) == 0) return b0;
+    for (uint32_t m = 0x40u; b0 & m; m >>= 1) ++extra;
+    v = b0 & ((1u << (6 - extra)) - 1);
+    for (int i = 0; i < extra; ++i) v = (v << 6) | (bits(8) & 0x3Fu);
+    return v;
+  }
+
+  void align() { pos_ = (pos_ + 7) & ~size_t(7); }
+  bool ok() const { return ok_; }
+  bool at_end() const { return (pos_ >> 3) >= n_; }
+
+ private:
+  const uint8_t* d_;
+  size_t n_;
+  size_t pos_ = 0;
+  bool ok_ = true;
+};
+
+bool flac_residual(BitReader* br, int pred_order, int block_size,
+                   std::vector<int64_t>* x) {
+  const uint32_t method = br->bits(2);
+  if (method > 1) return false;
+  const int pbits = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 0xFu : 0x1Fu;
+  const uint32_t porder = br->bits(4);
+  const int partitions = 1 << porder;
+  if ((block_size >> porder) << porder != block_size) return false;
+  int idx = pred_order;
+  for (int p = 0; p < partitions; ++p) {
+    int count = block_size >> porder;
+    if (p == 0) count -= pred_order;
+    if (count < 0) return false;
+    const uint32_t param = br->bits(pbits);
+    if (param == escape) {
+      const int raw = static_cast<int>(br->bits(5));
+      for (int i = 0; i < count; ++i) (*x)[idx++] = br->sbits(raw);
+    } else {
+      for (int i = 0; i < count; ++i) {
+        const uint64_t q = br->unary();
+        const uint64_t r = br->bits(static_cast<int>(param));
+        const uint64_t v = (q << param) | r;
+        (*x)[idx++] = static_cast<int64_t>(v >> 1) ^
+                      -static_cast<int64_t>(v & 1);  // zigzag
+      }
+    }
+    if (!br->ok()) return false;
+  }
+  return true;
+}
+
+bool flac_subframe(BitReader* br, int block_size, int bps,
+                   std::vector<int64_t>* x) {
+  if (br->bits(1) != 0) return false;  // mandatory zero pad bit
+  const uint32_t type = br->bits(6);
+  int wasted = 0;
+  if (br->bits(1) == 1) wasted = 1 + static_cast<int>(br->unary());
+  bps -= wasted;
+  x->assign(block_size, 0);
+  if (type == 0) {  // CONSTANT
+    const int64_t v = br->sbits(bps);
+    for (auto& s : *x) s = v;
+  } else if (type == 1) {  // VERBATIM
+    for (auto& s : *x) s = br->sbits(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0-4
+    const int order = static_cast<int>(type) - 8;
+    for (int i = 0; i < order; ++i) (*x)[i] = br->sbits(bps);
+    if (!flac_residual(br, order, block_size, x)) return false;
+    for (int i = order; i < block_size; ++i) {
+      int64_t p = 0;
+      switch (order) {  // fixed linear predictors
+        case 0: p = 0; break;
+        case 1: p = (*x)[i - 1]; break;
+        case 2: p = 2 * (*x)[i - 1] - (*x)[i - 2]; break;
+        case 3:
+          p = 3 * (*x)[i - 1] - 3 * (*x)[i - 2] + (*x)[i - 3];
+          break;
+        default:
+          p = 4 * (*x)[i - 1] - 6 * (*x)[i - 2] + 4 * (*x)[i - 3] -
+              (*x)[i - 4];
+      }
+      (*x)[i] += p;
+    }
+  } else if (type >= 32) {  // LPC, order = type - 31
+    const int order = static_cast<int>(type) - 31;
+    for (int i = 0; i < order; ++i) (*x)[i] = br->sbits(bps);
+    const uint32_t prec_m1 = br->bits(4);
+    if (prec_m1 == 0xF) return false;
+    const int precision = static_cast<int>(prec_m1) + 1;
+    const int shift = static_cast<int>(br->sbits(5));
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br->sbits(precision);
+    if (!flac_residual(br, order, block_size, x)) return false;
+    for (int i = order; i < block_size; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coef[j] * (*x)[i - 1 - j];
+      (*x)[i] += acc >> shift;
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted > 0)
+    for (auto& s : *x) s <<= wasted;
+  return br->ok();
+}
+
+int decode_flac(const char* path, std::vector<float>* out, int* sr_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return kErrOpen;
+  fseek(f, 0, SEEK_END);
+  const long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data(static_cast<size_t>(fsize));
+  const size_t got = fread(data.data(), 1, data.size(), f);
+  fclose(f);
+  if (got < 42 || memcmp(data.data(), "fLaC", 4) != 0) return kErrFormat;
+
+  // metadata blocks; STREAMINFO is always first
+  size_t pos = 4;
+  uint32_t sample_rate = 0;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  bool have_info = false;
+  while (!last && pos + 4 <= data.size()) {
+    last = (data[pos] & 0x80u) != 0;
+    const int btype = data[pos] & 0x7F;
+    const uint32_t blen = (uint32_t(data[pos + 1]) << 16) |
+                          (uint32_t(data[pos + 2]) << 8) | data[pos + 3];
+    pos += 4;
+    if (btype == 0 && blen >= 34 && pos + blen <= data.size()) {
+      BitReader br(data.data() + pos, blen);
+      br.bits(16);  // min block size
+      br.bits(16);  // max block size
+      br.bits(24);  // min frame size
+      br.bits(24);  // max frame size
+      sample_rate = br.bits(20);
+      channels = static_cast<int>(br.bits(3)) + 1;
+      bps = static_cast<int>(br.bits(5)) + 1;
+      total_samples = (static_cast<uint64_t>(br.bits(4)) << 32) | br.bits(32);
+      have_info = true;
+    }
+    pos += blen;
+  }
+  if (!have_info || sample_rate == 0 || channels < 1 || channels > 8)
+    return kErrFormat;
+
+  out->clear();
+  if (total_samples) out->reserve(static_cast<size_t>(total_samples));
+  BitReader br(data.data() + pos, data.size() - pos);
+  std::vector<std::vector<int64_t>> ch(channels);
+  const float scale = 1.0f / (1ll << (bps - 1));
+  while (!br.at_end() &&
+         (total_samples == 0 || out->size() < total_samples)) {
+    if (br.bits(14) != 0x3FFE) break;  // frame sync (or trailing garbage)
+    br.bits(1);                        // reserved
+    br.bits(1);                        // blocking strategy
+    const uint32_t bs_code = br.bits(4);
+    const uint32_t sr_code = br.bits(4);
+    const uint32_t ch_code = br.bits(4);
+    const uint32_t ss_code = br.bits(3);
+    br.bits(1);  // reserved
+    br.utf8();   // frame/sample number
+    int block_size = 0;
+    switch (bs_code) {
+      case 1: block_size = 192; break;
+      case 2: case 3: case 4: case 5:
+        block_size = 576 << (bs_code - 2); break;
+      case 6: block_size = static_cast<int>(br.bits(8)) + 1; break;
+      case 7: block_size = static_cast<int>(br.bits(16)) + 1; break;
+      default:
+        if (bs_code >= 8)
+          block_size = 256 << (bs_code - 8);
+        else
+          return kErrFormat;  // 0 reserved
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    int fbps = bps;
+    switch (ss_code) {
+      case 0: fbps = bps; break;
+      case 1: fbps = 8; break;
+      case 2: fbps = 12; break;
+      case 4: fbps = 16; break;
+      case 5: fbps = 20; break;
+      case 6: fbps = 24; break;
+      case 7: fbps = 32; break;
+      default: return kErrFormat;
+    }
+    br.bits(8);  // header CRC-8
+    int n_ch = channels;
+    if (ch_code <= 7) n_ch = static_cast<int>(ch_code) + 1;
+    else if (ch_code <= 10) n_ch = 2;
+    else return kErrFormat;
+    if (n_ch != channels) return kErrFormat;
+    for (int c = 0; c < n_ch; ++c) {
+      // the difference (side) channel carries one extra bit
+      const bool side = (ch_code == 8 && c == 1) ||
+                        (ch_code == 9 && c == 0) ||
+                        (ch_code == 10 && c == 1);
+      if (!flac_subframe(&br, block_size, fbps + (side ? 1 : 0), &ch[c]))
+        return kErrFormat;
+    }
+    br.align();
+    br.bits(16);  // frame CRC-16
+    if (!br.ok()) return kErrFormat;
+    // stereo decorrelation (libFLAC reconstruction formulas)
+    if (ch_code == 8) {       // left/side: right = left - side
+      for (int i = 0; i < block_size; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (ch_code == 9) {  // right/side: left = right + side
+      for (int i = 0; i < block_size; ++i) ch[0][i] += ch[1][i];
+    } else if (ch_code == 10) {  // mid/side
+      for (int i = 0; i < block_size; ++i) {
+        const int64_t side_v = ch[1][i];
+        int64_t mid = (ch[0][i] << 1) | (side_v & 1);
+        ch[0][i] = (mid + side_v) >> 1;
+        ch[1][i] = (mid - side_v) >> 1;
+      }
+    }
+    int take = block_size;
+    if (total_samples &&
+        out->size() + static_cast<size_t>(take) > total_samples)
+      take = static_cast<int>(total_samples - out->size());
+    for (int i = 0; i < take; ++i) {  // downmix to mono (decode_wav policy)
+      double acc = 0.0;
+      for (int c = 0; c < channels; ++c)
+        acc += static_cast<double>(ch[c][i]);
+      out->push_back(static_cast<float>(acc / channels * scale));
+    }
+  }
+  if (total_samples != 0 && out->size() != total_samples) return kErrFormat;
+  *sr_out = static_cast<int>(sample_rate);
+  return 0;
+}
+
+bool has_suffix(const char* path, const char* suffix) {
+  const size_t lp = strlen(path), ls = strlen(suffix);
+  if (ls > lp) return false;
+  for (size_t i = 0; i < ls; ++i) {
+    char a = path[lp - ls + i], b = suffix[i];
+    if (a >= 'A' && a <= 'Z') a += 32;
+    if (a != b) return false;
+  }
+  return true;
+}
+
 void load_resampled(const char* path, int target_sr, std::vector<float>* out,
                     int* rc_out) {
   std::vector<float> pcm;
   int sr = 0;
-  int rc = decode_wav(path, &pcm, &sr);
+  int rc = has_suffix(path, ".flac") ? decode_flac(path, &pcm, &sr)
+                                     : decode_wav(path, &pcm, &sr);
   if (rc != 0) {
     *rc_out = rc;
     return;
@@ -243,6 +534,26 @@ int si_wav_info(const char* path, int* sr, int64_t* frames) {
   return 0;
 }
 
+int si_flac_info(const char* path, int* sr, int64_t* frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return kErrOpen;
+  uint8_t head[4 + 4 + 34];
+  const size_t got = fread(head, 1, sizeof(head), f);
+  fclose(f);
+  if (got < sizeof(head) || memcmp(head, "fLaC", 4) != 0 ||
+      (head[4] & 0x7F) != 0)  // STREAMINFO must be the first block
+    return kErrFormat;
+  BitReader br(head + 8, 34);
+  br.bits(16); br.bits(16); br.bits(24); br.bits(24);
+  *sr = static_cast<int>(br.bits(20));
+  br.bits(3);  // channels - 1
+  br.bits(5);  // bps - 1
+  *frames = static_cast<int64_t>((static_cast<uint64_t>(br.bits(4)) << 32) |
+                                 br.bits(32));
+  return *sr > 0 ? 0 : kErrFormat;
+}
+
+// Works for .wav and .flac paths alike (suffix dispatch in load_resampled).
 int si_load_wav(const char* path, int target_sr, float* out,
                 int64_t capacity, int64_t* out_len) {
   std::vector<float> buf;

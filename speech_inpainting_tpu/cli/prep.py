@@ -99,6 +99,16 @@ def cmd_f0_stats(args):
     print(f"f0 stats for {len(spk_names)} speakers -> {args.out}")
 
 
+def cmd_download(args):
+    """Dataset acquisition (I_ea/dataset/preprocessing.py:120-131 flow):
+    download archive (skipped when present/offline-staged), extract, and for
+    VCTK convert mic1 flacs to 22.05 kHz wavs via the native FLAC decoder."""
+    from ..data.download import fetch_dataset
+    dest = fetch_dataset(args.dataset, args.root,
+                         skip_download=args.skip_download)
+    print(f"dataset ready at {dest}")
+
+
 def cmd_splits(args):
     """Train/validation split generation (I_ea/dataset/preprocessing.py
     regimes): VCTK-style 'speaker_textid' names split so that validation
@@ -158,6 +168,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    s = sub.add_parser("download")
+    s.add_argument("--dataset", required=True,
+                   choices=["LJSpeech", "VCTK"])
+    s.add_argument("--root", default=".")
+    s.add_argument("--skip-download", action="store_true",
+                   help="archive already staged locally (no-egress hosts)")
+
     s = sub.add_parser("splits")
     s.add_argument("--root", required=True)
     s.add_argument("--dest", required=True)
@@ -204,7 +221,7 @@ def main(argv=None):
     s.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
-    {"splits": cmd_splits, "preprocess": cmd_preprocess, "manifest": cmd_manifest,
+    {"download": cmd_download, "splits": cmd_splits, "preprocess": cmd_preprocess, "manifest": cmd_manifest,
      "quantize": cmd_quantize, "parse-codes": cmd_parse_codes,
      "f0-stats": cmd_f0_stats}[args.cmd](args)
 

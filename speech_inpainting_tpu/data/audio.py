@@ -8,6 +8,8 @@ design) with scipy + numpy:
   - trim_silence: librosa.effects.trim semantics (top_db against max RMS,
     frame 2048 / hop 512 defaults; preprocess.py:44)
   - pad_to_multiple: pad to ×1280 samples (preprocess.py:30-50)
+  - load_flac → the native C++ decoder (native/speechio.cc) for VCTK's
+    flac corpus (preprocessing.py:379-390); no libsndfile in this env
 """
 from __future__ import annotations
 
@@ -39,6 +41,18 @@ def load_wav(path, target_sr: Optional[int] = None
         wav = resample(wav, sr, target_sr)
         sr = target_sr
     return wav, sr
+
+
+def load_flac(path, target_sr: Optional[int] = None
+              ) -> Tuple[np.ndarray, int]:
+    """Decode FLAC via the repo's native decoder → (float32 mono, sr).
+    Builds the C++ library on first use; resamples if target_sr given."""
+    from . import native
+    if not native.available():
+        raise RuntimeError(
+            "FLAC decoding needs the native library; `make -C native` "
+            "failed or gcc is unavailable")
+    return native.load_wav(path, target_sr)
 
 
 def save_wav(path, wav: np.ndarray, sr: int):

@@ -21,15 +21,17 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def build(force: bool = False) -> bool:
-    """Compile libspeechio.so (no-op if current). Returns availability."""
-    if _LIB_PATH.exists() and not force:
-        return True
+    """Compile libspeechio.so (make's mtime check makes this a no-op when
+    current — always invoking it avoids serving a stale .so after source
+    edits). Returns availability."""
     try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True)
+        cmd = ["make", "-C", str(_NATIVE_DIR)]
+        if force:
+            cmd.append("-B")
+        subprocess.run(cmd, check=True, capture_output=True)
         return _LIB_PATH.exists()
     except Exception:
-        return False
+        return _LIB_PATH.exists() and not force
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -42,6 +44,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.si_wav_info.argtypes = [ctypes.c_char_p,
                                 ctypes.POINTER(ctypes.c_int),
                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.si_flac_info.argtypes = [ctypes.c_char_p,
+                                 ctypes.POINTER(ctypes.c_int),
+                                 ctypes.POINTER(ctypes.c_int64)]
     lib.si_load_wav.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int64,
@@ -82,9 +87,24 @@ def wav_info(path):
     return sr.value, frames.value
 
 
-def load_wav(path, target_sr: Optional[int] = None):
+def flac_info(path):
     lib = _load()
-    sr, frames = wav_info(path)
+    sr = ctypes.c_int()
+    frames = ctypes.c_int64()
+    rc = lib.si_flac_info(str(path).encode(), ctypes.byref(sr),
+                          ctypes.byref(frames))
+    if rc != 0:
+        raise IOError(f"si_flac_info({path}) -> {rc}")
+    return sr.value, frames.value
+
+
+def load_wav(path, target_sr: Optional[int] = None):
+    """Decode .wav or .flac (suffix dispatch in C) -> (float32 mono, sr)."""
+    lib = _load()
+    info = flac_info if str(path).lower().endswith(".flac") else wav_info
+    sr, frames = info(path)
+    if frames == 0:  # STREAMINFO may omit the total-sample count
+        frames = Path(path).stat().st_size * 4
     tsr = target_sr or sr
     cap = int(frames * max(1.0, tsr / sr) + 16)
     out = np.empty(cap, np.float32)
