@@ -459,6 +459,9 @@ def stage_eval_da(out, wavs22, wavs16):
     for name, w in wavs16.items():
         results[name] = {}
         for ms in (100, 200, 300, 400):
+            # warm-up: the first call per mask length pays the XLA compile,
+            # which would otherwise contaminate the committed RTF
+            inp(w, mask_size=ms * 16)
             o = inp(w, mask_size=ms * 16)
             gt, est = o["audio_gt"], o["audio_inpainted"]
             n = min(len(gt), len(est))

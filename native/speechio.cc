@@ -255,6 +255,10 @@ class BitReader {
     uint64_t v = 0;
     if ((b0 & 0x80u) == 0) return b0;
     for (uint32_t m = 0x40u; b0 & m; m >>= 1) ++extra;
+    if (extra < 1 || extra > 6) {  // 0x80-0xBF / 0xFF: invalid lead byte
+      ok_ = false;                 // (extra==7 would shift by -1 — UB)
+      return 0;
+    }
     v = b0 & ((1u << (6 - extra)) - 1);
     for (int i = 0; i < extra; ++i) v = (v << 6) | (bits(8) & 0x3Fu);
     return v;

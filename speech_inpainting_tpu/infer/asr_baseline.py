@@ -62,7 +62,9 @@ def asr_tts_inpaint(y_masked: np.ndarray, y_synth: np.ndarray,
         if last > first:
             y_orig_full = y_orig.copy()
             y_orig = y_orig[first:last]
-            mask = mask - first / sr
+            # clamp: a VAD crop deeper than the mask edge would otherwise
+            # produce a negative start / past-the-end stop downstream
+            mask = np.clip(mask - first / sr, 0.0, len(y_orig) / sr)
         else:
             y_orig_full, first, last = y_orig.copy(), 0, len(y_orig)
         va_s = energy_vad(y_synth, sr)
@@ -72,6 +74,13 @@ def asr_tts_inpaint(y_masked: np.ndarray, y_synth: np.ndarray,
     else:
         y_orig_full, first, last = y_orig.copy(), 0, len(y_orig)
 
+    if mask[1] <= mask[0]:
+        # mask lies entirely outside the VAD-cropped speech region (e.g. in
+        # the trailing silence): nothing to inpaint on the cropped grid
+        return dict(inpainted=y_orig, inpainted_with_silence=y_orig_full,
+                    patch=np.zeros(0, np.float32),
+                    target_span_s=np.zeros(2))
+
     S_orig = mfcc(y_orig, sr, hop=cfg.hop)
     S_synth = mfcc(y_synth, sr, hop=cfg.hop)
     _, path = dtw(S_orig, S_synth)
@@ -79,11 +88,14 @@ def asr_tts_inpaint(y_masked: np.ndarray, y_synth: np.ndarray,
     target = (map_time(path, mask[0], cfg.hop, sr),
               map_time(path, mask[1], cfg.hop, sr))
     span = y_synth[int(target[0] * sr):int(target[1] * sr)]
+    mask_samples = int((mask[1] - mask[0]) * sr)
     if len(span) < 2:                      # degenerate mapping
-        span = np.zeros(max(2, int((mask[1] - mask[0]) * sr)), np.float32)
-
-    alpha = (mask[1] - mask[0]) / max(target[1] - target[0], 1e-6) * cfg.safety
-    stretched = wsola(span, alpha)[:int((mask[1] - mask[0]) * sr)]
+        span = np.zeros(max(2, mask_samples), np.float32)
+    # alpha derives from the GUARDED span (a near-zero DTW span previously
+    # produced alpha up to ~1e6 and a multi-GB wsola allocation); the
+    # [:mask_samples] trim makes any alpha beyond safety*need wasted work
+    alpha = min(mask_samples / max(len(span), 2), 1e4) * cfg.safety
+    stretched = wsola(span, alpha)[:mask_samples]
 
     start, end = (mask * sr).astype(int)
     inpainted = crossfade_paste(y_orig, stretched, start, end, sr,

@@ -92,8 +92,8 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
     if true_labels is not None:
         f_grid = out["mel_inpainted"].shape[-1]
         lab = np.zeros(f_grid, np.int32)
-        m = min(f_grid, len(true_labels))
-        lab[:m] = np.asarray(true_labels[:m], np.int32)
+        n_lab = min(f_grid, len(true_labels))
+        lab[:n_lab] = np.asarray(true_labels[:n_lab], np.int32)
         exp_out = inpainter.batch_expected(
             np.tile(wav22[None], (n, 1)), np.tile(lab[None], (n, 1)),
             mask_pos, np.full(n, mask_len_frames, np.int32))
@@ -118,7 +118,11 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
                                                 est_mel[:, :m].T))
         scores["lsd_rmse"].append(log_spectral_rmse(ref_mel[:, :m].T,
                                                     est_mel[:, :m].T))
-        if expected is not None:
+        # masks overlapping frames past the oracle track are excluded from
+        # the vs-expected metrics — the padded id-0 "labels" there are
+        # fabricated and would deflate unit_acc / inflate mel_l1_mask
+        if (expected is not None
+                and int(mask_pos[i]) + mask_len_frames <= n_lab):
             exp = expected[i]
             scores["pesq_vs_exp"].append(pesq(exp, est, 22050))
             scores["stoi_vs_exp"].append(stoi(exp, est, 22050))

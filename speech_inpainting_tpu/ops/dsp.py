@@ -124,17 +124,33 @@ def dtw(X: np.ndarray, Y: np.ndarray,
     D = np.full((N, M), np.inf)
     steps = np.full((N, M), -1, np.int32)
     D[0, 0] = C[0, 0]
-    for i in range(N):
-        for j in range(M):
-            if i == 0 and j == 0:
-                continue
-            best, arg = np.inf, -1
+    if all(di >= 1 for di, _ in step_sizes):
+        # every step advances i, so row i depends only on earlier rows —
+        # vectorize over j (the per-cell Python loop was ~100x slower at
+        # the baseline's N=M~1000)
+        K = len(step_sizes)
+        cand = np.empty((K, M))
+        for i in range(1, N):
+            cand.fill(np.inf)
             for k, ((di, dj), w) in enumerate(zip(step_sizes, weights)):
-                pi, pj = i - di, j - dj
-                if pi >= 0 and pj >= 0 and D[pi, pj] + w * C[i, j] < best:
-                    best, arg = D[pi, pj] + w * C[i, j], k
-            D[i, j] = best
-            steps[i, j] = arg
+                if i - di >= 0 and dj < M:
+                    cand[k, dj:] = D[i - di, :M - dj] + w * C[i, dj:]
+            steps[i] = np.argmin(cand, axis=0)
+            D[i] = cand[steps[i], np.arange(M)]
+        steps[D == np.inf] = -1
+    else:
+        for i in range(N):
+            for j in range(M):
+                if i == 0 and j == 0:
+                    continue
+                best, arg = np.inf, -1
+                for k, ((di, dj), w) in enumerate(zip(step_sizes, weights)):
+                    pi, pj = i - di, j - dj
+                    if (pi >= 0 and pj >= 0
+                            and D[pi, pj] + w * C[i, j] < best):
+                        best, arg = D[pi, pj] + w * C[i, j], k
+                D[i, j] = best
+                steps[i, j] = arg
     if not np.isfinite(D[N - 1, M - 1]):
         # with steps {(1,1),(2,1),(1,2)} the corner is unreachable iff the
         # lengths are more than 2x apart (librosa's dtw has the same
@@ -170,6 +186,8 @@ def wsola(x: np.ndarray, alpha: float, *, win_size: int = 1024,
     (default syn_hop/2) maximizing cross-correlation with the natural
     continuation of the previous synthesis frame.
     """
+    if not alpha > 0:
+        raise ValueError(f"wsola stretch factor must be positive: {alpha}")
     syn_hop = win_size // 2
     if tolerance is None:
         tolerance = syn_hop // 2
@@ -178,7 +196,10 @@ def wsola(x: np.ndarray, alpha: float, *, win_size: int = 1024,
     n_frames = max(1, out_len // syn_hop)
     # analysis positions for each synthesis frame
     ana_pos = np.round(np.arange(n_frames) * syn_hop / alpha).astype(int)
-    xp = np.pad(x, (tolerance, win_size + tolerance))
+    # right pad must cover the deepest read: base(≤len+tol) + shift(≤tol)
+    # + syn_hop + win_size (the natural-continuation tail) — under-padding
+    # crashed large stretch factors (alpha ≳ 2) with truncated slices
+    xp = np.pad(x, (tolerance, win_size + 2 * tolerance + syn_hop))
     out = np.zeros(out_len + win_size)
     norm = np.zeros_like(out)
 
@@ -216,14 +237,21 @@ def crossfade_paste(y: np.ndarray, patch: np.ndarray, start: int, end: int,
     `crossfade_s` centered on both mask edges (predict_asr.py:215-231)."""
     y = y.copy().astype(np.float64)
     blank = np.zeros_like(y)
+    start = int(np.clip(start, 0, len(y)))   # defensive: a negative start
+    end = int(np.clip(end, 0, len(y)))       # indexes from the END in numpy
     blank[start:start + len(patch)] = patch[:max(0, len(y) - start)]
     c = int(crossfade_s * sr)
-    lo, hi = start - c // 2, start + c // 2
-    if c > 0 and lo >= 0:
-        y[lo:hi] *= np.linspace(1, 0, hi - lo)
-        blank[lo:hi] *= np.linspace(0, 1, hi - lo)
-    lo, hi = end - c // 2, end + c // 2
-    if c > 0 and hi <= len(y):
-        y[lo:hi] *= np.linspace(0, 1, hi - lo)
-        blank[lo:hi] *= np.linspace(1, 0, hi - lo)
+    # fades are clipped to the signal, not skipped: a mask edge within
+    # crossfade/2 of either boundary previously broadcast-crashed
+    for lo, hi, y0, y1 in ((start - c // 2, start + c // 2, 1.0, 0.0),
+                           (end - c // 2, end + c // 2, 0.0, 1.0)):
+        n = hi - lo
+        if c <= 0 or n <= 0:
+            continue
+        ramp = np.linspace(y0, y1, n)
+        lo2, hi2 = max(lo, 0), min(hi, len(y))
+        if hi2 <= lo2:
+            continue
+        y[lo2:hi2] *= ramp[lo2 - lo:hi2 - lo]
+        blank[lo2:hi2] *= 1.0 - ramp[lo2 - lo:hi2 - lo]
     return (y + blank).astype(np.float32)

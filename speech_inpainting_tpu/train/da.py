@@ -55,6 +55,11 @@ def make_da_step(cfg: DATrainConfig, vq_tree=None):
     mel_fn = lambda w: mel_spectrogram(w, cfg.mel_loss)  # noqa: E731
 
     if content_vq:
+        if vq_tree is not None:
+            raise ValueError(
+                "content-VQ (joint) regime: the 'vq' collection must live "
+                "in GANTrainState.vq (create_da_state), not be closed over "
+                "— passing vq_tree here would silently freeze it")
         def gen_fwd(g_params, vq, rng, batch):
             (wav, commit, _), upd = codegen.apply(
                 {"params": g_params, "vq": vq}, batch["code"],

@@ -28,6 +28,7 @@ def enable_persistent_cache(path: str = DEFAULT_DIR,
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
-    # small entries are cheap to recompile; don't churn the dir with them
+    # 0 = no size floor: every compile past the TIME threshold is cached
+    # (the 5 s min_compile_time filter is what keeps small entries out)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

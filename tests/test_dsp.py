@@ -200,3 +200,76 @@ def test_asr_tts_baseline_pluggable():
     assert calls == {"asr": True, "tts": "hello"}
     assert out["transcript"] == "hello"
     assert len(out["inpainted"]) == len(masked)
+
+
+def test_dtw_vectorized_matches_percell_dp(rng):
+    """The row-vectorized DP (all steps advance i) must reproduce the
+    per-cell reference recursion exactly — costs, tie-breaks, and path."""
+    def percell(C, step_sizes, weights):
+        N, M = C.shape
+        D = np.full((N, M), np.inf)
+        steps = np.full((N, M), -1, np.int32)
+        D[0, 0] = C[0, 0]
+        for i in range(N):
+            for j in range(M):
+                if i == 0 and j == 0:
+                    continue
+                best, arg = np.inf, -1
+                for k, ((di, dj), w) in enumerate(zip(step_sizes, weights)):
+                    pi, pj = i - di, j - dj
+                    if pi >= 0 and pj >= 0 and D[pi, pj] + w * C[i, j] < best:
+                        best, arg = D[pi, pj] + w * C[i, j], k
+                D[i, j] = best
+                steps[i, j] = arg
+        return D, steps
+
+    steps = ((1, 1), (2, 1), (1, 2))
+    for trial in range(3):
+        X = rng.standard_normal((6, 30 + trial))
+        Y = rng.standard_normal((6, 41 + 2 * trial))
+        D, path = dtw(X, Y, step_sizes=steps)
+        C = np.sqrt(np.maximum(
+            (X * X).sum(0)[:, None] - 2.0 * (X.T @ Y)
+            + (Y * Y).sum(0)[None, :], 0.0))
+        D_ref, _ = percell(C, steps, (1.0, 1.0, 1.0))
+        fin = np.isfinite(D_ref)
+        np.testing.assert_allclose(D[fin], D_ref[fin], rtol=1e-12)
+        assert (~np.isfinite(D[~fin])).all()
+        assert path[0].tolist() == [X.shape[1] - 1, Y.shape[1] - 1]
+        assert path[-1].tolist() == [0, 0]
+
+
+def test_wsola_large_stretch_and_bad_alpha(rng):
+    """Stretch factors above 2x previously crashed on truncated slices
+    (under-padded natural-continuation reads); non-positive alpha must be a
+    clear error, not NaN frame positions."""
+    import pytest
+    x = np.sin(np.arange(16000) / 20).astype(np.float32)
+    for alpha in (2.5, 7.0, 0.3):
+        out = wsola(x[:4000] if alpha > 5 else x, alpha)
+        assert np.isfinite(out).all() and len(out) > 0
+    with pytest.raises(ValueError, match="positive"):
+        wsola(x, 0.0)
+
+
+def test_crossfade_paste_signal_edges():
+    """Fades are clipped at the signal boundaries (previously a broadcast
+    crash), and out-of-range spans are clamped."""
+    y = np.ones(16000, np.float32)
+    patch = np.full(160, 0.5, np.float32)
+    for start, end in [(15990, 16090), (2, 100), (-50, 100), (16000, 16200)]:
+        out = crossfade_paste(y, patch, start, end, 16000, 0.01)
+        assert out.shape == y.shape and np.isfinite(out).all()
+
+
+def test_asr_baseline_mask_outside_speech(rng):
+    """A mask entirely inside the VAD-cropped silence returns the signal
+    unchanged instead of dividing by a zero-length span."""
+    from speech_inpainting_tpu.infer.asr_baseline import asr_tts_inpaint
+    t = np.arange(16000 * 2)
+    speech = (0.3 * np.sin(2 * np.pi * 220 * t / 16000)).astype(np.float32)
+    y = np.concatenate([speech, np.zeros(16000, np.float32)])  # 1s tail
+    out = asr_tts_inpaint(y, y.copy(), (2.5, 2.7))  # mask in the silence
+    assert len(out["patch"]) == 0
+    assert np.isfinite(out["inpainted"]).all()
+    np.testing.assert_array_equal(out["inpainted_with_silence"], y)

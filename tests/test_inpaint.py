@@ -182,3 +182,43 @@ def test_fast_engine_matches_flax_generator(rng):
     eb = fast.batch_expected(w22, labels, pos, ln)
     np.testing.assert_allclose(np.asarray(ea["expected_inpaint"]),
                                np.asarray(eb["expected_inpaint"]), atol=2e-5)
+
+
+def test_evaluate_inpainting_oracle_label_guard(rng):
+    """Masks overlapping frames past the oracle label track must be excluded
+    from the vs-expected metrics (padded id-0 labels are fabricated), while
+    the clean-reference metrics still cover every position."""
+    from speech_inpainting_tpu.infer.evaluate import evaluate_inpainting
+    hcfg = HubertConfig(conv_dim=(8,) * 7, hidden_size=16, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=24,
+                        num_conv_pos_embeddings=15,
+                        num_conv_pos_embedding_groups=1)
+    gcfg = HiFiGANConfig(upsample_rates=(8, 8, 2, 2),
+                         upsample_kernel_sizes=(16, 16, 4, 4),
+                         upsample_initial_channel=16,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    centroids = rng.standard_normal((7, 80)).astype(np.float32)
+    hub = EncoderWithHead(hcfg, out_dim=80)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    gen = Generator(gcfg)
+    gp = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 8)))["params"]
+    inp = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
+                            hp, gp, centroids)
+    w22 = (rng.standard_normal(44100) * 0.1).astype(np.float32)
+    w16 = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    labels = rng.integers(0, 7, 40).astype(np.int32)   # shorter than grid
+    # positions 10 (fits: 10+5 <= 40) and 38 (overlaps the padded tail)
+    m = evaluate_inpainting(inp, w22, w16, [10 * 320, 38 * 320], 100,
+                            true_labels=labels)
+    assert "pesq" in m and "unit_acc" in m
+    # the vs-exp means must come from the single in-bounds position: with
+    # both positions included the fabricated tail would drag unit_acc
+    m_only = evaluate_inpainting(inp, w22, w16, [10 * 320], 100,
+                                 true_labels=labels)
+    np.testing.assert_allclose(m["unit_acc"], m_only["unit_acc"])
+    np.testing.assert_allclose(m["mel_l1_mask"], m_only["mel_l1_mask"])
+    # no position fits -> vs-exp keys absent, clean metrics present
+    m_none = evaluate_inpainting(inp, w22, w16, [38 * 320], 100,
+                                 true_labels=labels)
+    assert "unit_acc" not in m_none and "pesq" in m_none
