@@ -92,3 +92,56 @@ def stft_complex(y, *, n_fft: int, hop: int, win_size: int, pad: int,
     if squeeze:
         re, im = re[0], im[0]
     return re, im
+
+
+@functools.lru_cache(maxsize=16)
+def _idft_kernel_np(n_fft: int) -> np.ndarray:
+    """(2*n_freq, n_fft) inverse-rDFT basis: time frame = [Re;Im] @ basis.
+
+    x[n] = (1/N)·Σ_k c_k·(Re S_k·cos(2πkn/N) − Im S_k·sin(2πkn/N)),
+    c_k = 1 for k ∈ {0, N/2}, else 2 (the conjugate-symmetric half).
+    """
+    n_freq = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(n_freq)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    c = np.full((n_freq, 1), 2.0)
+    c[0] = c[-1] = 1.0
+    basis = np.concatenate([c * np.cos(ang), -c * np.sin(ang)]) / n_fft
+    return basis.astype(np.float32)
+
+
+def istft_overlap_add(spec_real, spec_imag, *, n_fft: int, hop: int):
+    """Inverse STFT with Hann windowing + overlap-add, torch.istft
+    (center=True) semantics: trims n_fft//2 from both ends and normalizes by
+    the window-square OLA envelope. GEMM-native (matmul iDFT — no FFT op).
+
+    spec_real/spec_imag: (B, n_fft//2+1, F). Returns (B, (F-1)*hop) samples
+    (the torch.istft default-length trim for center=True).
+
+    Requires hop | n_fft (the iSTFTNet head uses n_fft 16 / hop 4, where the
+    periodic-Hann² OLA envelope is constant and COLA holds).
+    """
+    assert n_fft % hop == 0, "hop must divide n_fft for the strided OLA"
+    b, n_freq, f = spec_real.shape
+    basis = jnp.asarray(_idft_kernel_np(n_fft))
+    win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    ri = jnp.concatenate([spec_real, spec_imag], axis=1)    # (B, 2n_freq, F)
+    # f32 inputs get true-f32 MXU passes (TPU default is bf16: ~2e-3 err)
+    prec = (lax.Precision.HIGHEST if ri.dtype == jnp.float32 else None)
+    frames = jnp.einsum("bkf,kn->bfn", ri, basis,
+                        precision=prec) * win[None, None, :]
+    r = n_fft // hop
+    out_len = (f - 1) * hop + n_fft
+    out = jnp.zeros((b, out_len), frames.dtype)
+    wsq = jnp.zeros((out_len,), jnp.float32)
+    w2 = jnp.broadcast_to((win * win)[None, :], (f, n_fft))
+    for j in range(r):  # sample (f·hop + j·hop + s) ← frame f, tap j·hop+s
+        seg = frames[:, :, j * hop:(j + 1) * hop].reshape(b, f * hop)
+        out = out.at[:, j * hop:j * hop + f * hop].add(seg)
+        wseg = w2[:, j * hop:(j + 1) * hop].reshape(f * hop)
+        wsq = wsq.at[j * hop:j * hop + f * hop].add(wseg)
+    half = n_fft // 2
+    out = out[:, half:out_len - half]
+    wsq = wsq[half:out_len - half]
+    return out / jnp.maximum(wsq, 1e-11)[None, :]

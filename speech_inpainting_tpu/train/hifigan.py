@@ -42,10 +42,13 @@ class HiFiGANTrainConfig:
     mel_loss: MelConfig = VOCODER_MEL_22K_FULLBAND
 
 
-def make_vanilla_step(cfg: HiFiGANTrainConfig):
+def make_vanilla_step(cfg: HiFiGANTrainConfig, *, generator=None,
+                      mpd=None, msd=None):
     """Vanilla HiFi-GAN: batch = {'audio': (B,1,S)} (+ optional teacher
-    'mel'); returns the jittable GAN step."""
-    gen = Generator(cfg.hifigan)
+    'mel'); returns the jittable GAN step. `generator` overrides the module
+    (e.g. models.hifigan_istft.ISTFTGenerator — same recipe, faster head);
+    mpd/msd as in make_gan_step."""
+    gen = generator or Generator(cfg.hifigan)
 
     def gen_fwd(g_params, batch):
         mel = batch["mel"] if "mel" in batch else mel_spectrogram(
@@ -53,7 +56,8 @@ def make_vanilla_step(cfg: HiFiGANTrainConfig):
         return gen.apply({"params": g_params}, mel)
 
     return make_gan_step(gen_fwd,
-                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan)
+                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan,
+                         mpd=mpd, msd=msd)
 
 
 def make_modified_step(cfg: HiFiGANTrainConfig, centroids):

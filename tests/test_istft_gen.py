@@ -1,0 +1,88 @@
+"""iSTFT-head fast vocoder (models/hifigan_istft.py): GEMM-native iSTFT
+numerics vs torch.istft, generator contract, and GAN-recipe trainability."""
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speech_inpainting_tpu.models.hifigan import (MultiPeriodDiscriminator,
+                                                  MultiScaleDiscriminator)
+from speech_inpainting_tpu.models.hifigan_istft import (ISTFTGenerator,
+                                                        ISTFTGeneratorConfig)
+from speech_inpainting_tpu.ops.mel import MelConfig, mel_spectrogram
+from speech_inpainting_tpu.ops.stft import istft_overlap_add
+from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+from speech_inpainting_tpu.train.hifigan import (HiFiGANTrainConfig,
+                                                 make_vanilla_step)
+
+
+def test_istft_overlap_add_matches_torch(rng):
+    for n_fft, hop, F in [(16, 4, 200), (32, 8, 77), (1024, 256, 40)]:
+        spec = (rng.standard_normal((2, n_fft // 2 + 1, F))
+                + 1j * rng.standard_normal((2, n_fft // 2 + 1, F)))
+        spec[:, 0] = spec[:, 0].real      # torch.istft needs real DC/Nyquist
+        spec[:, -1] = spec[:, -1].real
+        want = torch.istft(torch.from_numpy(spec), n_fft, hop_length=hop,
+                           win_length=n_fft,
+                           window=torch.hann_window(n_fft), center=True,
+                           return_complex=False).numpy()
+        got = np.asarray(istft_overlap_add(
+            jnp.asarray(spec.real, jnp.float32),
+            jnp.asarray(spec.imag, jnp.float32), n_fft=n_fft, hop=hop))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _tiny_cfg():
+    return ISTFTGeneratorConfig(upsample_rates=(8, 8),
+                                upsample_kernel_sizes=(16, 16),
+                                upsample_initial_channel=32,
+                                resblock_kernel_sizes=(3,),
+                                resblock_dilation_sizes=((1, 3),))
+
+
+def test_istft_generator_contract(rng):
+    cfg = _tiny_cfg()
+    assert cfg.total_upsample == 256      # matches the V1 mel hop
+    gen = ISTFTGenerator(cfg)
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))
+    x = jnp.asarray(rng.standard_normal((2, 80, 13)), jnp.float32)
+    y = gen.apply(v, x)
+    assert y.shape == (2, 1, 13 * 256)
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda p: jnp.mean(gen.apply(p, x) ** 2))(v)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in leaves)
+    assert any(float(jnp.abs(a).max()) > 0 for a in leaves)
+
+
+def test_istft_generator_trains_with_gan_recipe(rng):
+    """The identical GAN step (make_vanilla_step(generator=...)) drives the
+    iSTFT head: mel error decreases on an overfit batch."""
+    MEL = MelConfig(n_fft=1024, num_mels=80, hop_size=256, win_size=1024,
+                    fmax=None)
+    SEG = 2048
+    cfg = _tiny_cfg()
+    tcfg = HiFiGANTrainConfig(
+        gan=GANConfig(learning_rate=2e-3, steps_per_epoch=10),
+        mel_input=MEL, mel_loss=MEL, segment_size=SEG)
+    gen = ISTFTGenerator(cfg)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
+    t = np.arange(SEG)
+    y = (0.4 * np.sin(2 * np.pi * 110 * t / 22050)
+         + 0.2 * np.sin(2 * np.pi * 347 * t / 22050)).astype(np.float32)
+    batch = {"audio": jnp.asarray(np.tile(y, (4, 1, 1)))}
+    zy = jnp.zeros((1, 1, SEG))
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    msd = MultiScaleDiscriminator(scales=1)
+    dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
+    sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
+    state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
+    step = jax.jit(make_vanilla_step(tcfg, generator=gen, mpd=mpd, msd=msd))
+    state, m0 = step(state, batch)
+    first = float(m0["mel_error"])
+    for _ in range(30):
+        state, m = step(state, batch)
+    last = float(m["mel_error"])
+    assert np.isfinite(last) and last < first, (first, last)
