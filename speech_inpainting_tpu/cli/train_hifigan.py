@@ -79,6 +79,9 @@ def main(argv=None):
     p.add_argument("--segment-size", type=int, default=None)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--modified", action="store_true")
+    p.add_argument("--istft", action="store_true",
+                   help="iSTFT-head fast vocoder (models/hifigan_istft.py):"
+                        " 1.65x serving / 3x training vs V1, same recipe")
     p.add_argument("--kmeans", default=None)
     p.add_argument("--mask-len", type=int, default=20)
     p.add_argument("--warm-start", default=None,
@@ -107,6 +110,21 @@ def main(argv=None):
         paths = sorted(Path(args.wavs).glob("*.wav"))
     ds = CropDataset(paths, seg)
 
+    generator = None
+    if args.istft:
+        assert not args.modified, "--istft is a vanilla-recipe family"
+        from ..models.hifigan_istft import (ISTFTGenerator,
+                                            ISTFTGeneratorConfig)
+        icfg = ISTFTGeneratorConfig(
+            upsample_initial_channel=gcfg.upsample_initial_channel,
+            resblock_kernel_sizes=gcfg.resblock_kernel_sizes,
+            resblock_dilation_sizes=gcfg.resblock_dilation_sizes,
+            in_dim=gcfg.in_dim, sampling_rate=gcfg.sampling_rate,
+            dtype=gcfg.dtype)
+        assert icfg.total_upsample == gcfg.total_upsample, (
+            "iSTFT geometry must keep the mel hop")
+        generator = ISTFTGenerator(icfg)
+
     if args.modified:
         assert args.kmeans, "--modified requires --kmeans"
         km = (KMeans.load_joblib(args.kmeans)
@@ -115,14 +133,16 @@ def main(argv=None):
         step = make_modified_step(tcfg, km.centroids)
         n441 = max(1, MODIFIED_MEL_22K.num_frames(seg) - args.mask_len)
     else:
-        step = make_vanilla_step(tcfg)
+        step = make_vanilla_step(tcfg, generator=generator)
         n441 = 0
 
     rng = jax.random.PRNGKey(args.seed)
-    gen = Generator(gcfg)
+    gen = generator or Generator(gcfg)
     n_in = tcfg.mel_input.num_frames(seg)
     gp = gen.init(rng, jnp.zeros((1, gcfg.in_dim, n_in)))["params"]
     if args.warm_start:
+        assert not args.istft, ("--warm-start loads V1-architecture torch "
+                                "checkpoints; the iSTFT family trains fresh")
         from ..convert.hifigan_torch import load_generator_checkpoint
         gp = load_generator_checkpoint(args.warm_start, gcfg)
         print(f"warm-started generator from {args.warm_start}")
