@@ -25,6 +25,9 @@ Measured on v5e-1 (bf16, B256 × 345 mel frames — the serving shape):
   faster inference. GAN training step (B16 × seg 8192, f32): 8.2 steps/s
   vs V1's 2.7 — 3× — with healthy learning (mel error 1.92 → 0.60 in 400
   real-audio steps). iSTFT numerics vs torch.istft: ≤2e-7 (f32, HIGHEST).
+  Equal-recipe quality (ch192, 2500 steps, overfit scale,
+  VOCODER_FAMILIES_r02.json): copy-synthesis PESQ 2.54 vs V1's 1.53 —
+  the head also converges faster at equal steps (matches the paper).
 """
 from __future__ import annotations
 
