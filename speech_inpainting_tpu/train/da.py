@@ -36,7 +36,7 @@ class DATrainConfig:
     code_hop_size: int = 320
 
 
-def make_da_step(cfg: DATrainConfig, vq_tree=None):
+def make_da_step(cfg: DATrainConfig, vq_tree=None, *, mpd=None, msd=None):
     """batch = {'code': (B,F) int32 (or (B,C,T) float in the joint regime),
     'f0': (B,1,Ff), 'emb': (B,E) or 'spkr': (B,), 'audio': (B,1,S)};
     'mel_loss' optional (else in-graph).
@@ -49,6 +49,9 @@ def make_da_step(cfg: DATrainConfig, vq_tree=None):
     (content codebook + any pitch codebook) lives in GANTrainState.vq and is
     EMA-updated per step — build the state with create_da_state and leave
     `vq_tree` None.
+
+    mpd/msd: optional discriminator overrides forwarded to make_gan_step
+    (reduced stacks for integration/dry-run compiles; production defaults).
     """
     codegen = CodeGenerator(cfg.codegen)
     content_vq = cfg.codegen.code_encoder is not None
@@ -68,14 +71,15 @@ def make_da_step(cfg: DATrainConfig, vq_tree=None):
                 mutable=["vq"], rngs={"vq": rng})
             return wav, commit, upd["vq"]
 
-        return make_gan_step(gen_fwd, mel_fn, cfg.gan, stateful_vq=True)
+        return make_gan_step(gen_fwd, mel_fn, cfg.gan, stateful_vq=True,
+                             mpd=mpd, msd=msd)
 
     def gen_fwd(g_params, batch):
         return codegen.apply(
             {"params": g_params, "vq": vq_tree}, batch["code"],
             f0=batch.get("f0"), emb=batch.get("emb"), spkr=batch.get("spkr"))
 
-    return make_gan_step(gen_fwd, mel_fn, cfg.gan)
+    return make_gan_step(gen_fwd, mel_fn, cfg.gan, mpd=mpd, msd=msd)
 
 
 def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
