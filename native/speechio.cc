@@ -222,8 +222,10 @@ class BitReader {
  public:
   BitReader(const uint8_t* data, size_t size) : d_(data), n_(size) {}
 
-  uint32_t bits(int n) {  // n in [0, 32]
-    uint32_t v = 0;
+  // n in [0, 64]: 64-bit accumulation so 33-bit reads (a 32-bps stream's
+  // side channel, or 32-bit verbatim/warmup samples) keep their top bit.
+  uint64_t bits(int n) {
+    uint64_t v = 0;
     for (int i = 0; i < n; ++i) {
       const size_t byte = pos_ >> 3;
       if (byte >= n_) {
@@ -250,7 +252,7 @@ class BitReader {
   }
 
   uint64_t utf8() {  // FLAC extended UTF-8 coded number (frame header)
-    uint32_t b0 = bits(8);
+    uint32_t b0 = static_cast<uint32_t>(bits(8));
     int extra = 0;
     uint64_t v = 0;
     if ((b0 & 0x80u) == 0) return b0;
@@ -564,7 +566,13 @@ int si_load_wav(const char* path, int target_sr, float* out,
   int rc = 0;
   load_resampled(path, target_sr, &buf, &rc);
   if (rc != 0) return rc;
-  if (static_cast<int64_t>(buf.size()) > capacity) return kErrCapacity;
+  if (static_cast<int64_t>(buf.size()) > capacity) {
+    // report the required length so the caller can reallocate exactly
+    // (capacity estimates from file size can undershoot for highly
+    // compressible FLAC streams whose STREAMINFO omits total samples)
+    *out_len = static_cast<int64_t>(buf.size());
+    return kErrCapacity;
+  }
   std::memcpy(out, buf.data(), buf.size() * sizeof(float));
   *out_len = static_cast<int64_t>(buf.size());
   return 0;

@@ -9,7 +9,8 @@ Matches the reference prep tooling `I_ea/dataset/preprocessing.py`:
     regardless of the requested destination;
   - VCTK mic1 wav conversion (:362-399): every ``*_mic1.flac`` decoded and
     resampled to 22.05 kHz (LJSpeech's rate), written as
-    ``<speaker>_<textnum>.wav`` (the flac name's first 8 characters).
+    ``<speaker>_<textnum>.wav`` (the flac name minus the mic suffix; the
+    reference's 8-char truncation bug for short speaker IDs is fixed here).
 
 FLAC decoding is this repo's own native decoder (`native/speechio.cc` via
 `data/native.py`) — libsndfile/librosa are absent by design.
@@ -89,7 +90,13 @@ def extract(archive, dest_dir) -> Path:
         print(f"dataset already extracted to {dest}")
         return dest
     tmp = dest.with_name(dest.name + ".extracting")
-    tmp.mkdir(parents=True, exist_ok=True)
+    if tmp.exists():
+        # stale staging dir from a crashed/interrupted run: its partial
+        # contents could defeat the single-top-dir collapse or leak stale
+        # files into dest — always start from a clean slate
+        import shutil
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     name = archive.name.lower()
     if name.endswith(".zip"):
         with zipfile.ZipFile(archive) as z:
@@ -117,8 +124,12 @@ def extract(archive, dest_dir) -> Path:
 def vctk_to_wavs(flacs_root, wavs_path, *, sr: int = 22050,
                  mic: str = "mic1", limit: Optional[int] = None) -> int:
     """Decode every `*_{mic}.flac` under `flacs_root` and write
-    `<name[:8]>.wav` at `sr` into `wavs_path` (preprocessing.py:362-399;
-    22.05 kHz matches LJSpeech). Returns the number of files written."""
+    `<speaker>_<textnum>.wav` at `sr` into `wavs_path`
+    (preprocessing.py:362-399; 22.05 kHz matches LJSpeech). The name drops
+    the `_{mic}` suffix rather than truncating to 8 chars — the reference's
+    `[:8]` mangles short speaker IDs like VCTK-0.92's 's5' ('s5_001_mic1' →
+    's5_001_m'), which breaks text-id dedup downstream. Returns the number
+    of files written."""
     from .audio import load_flac, resample, save_wav
 
     flacs_root, wavs = Path(flacs_root), Path(wavs_path)
@@ -131,7 +142,8 @@ def vctk_to_wavs(flacs_root, wavs_path, *, sr: int = 22050,
         audio, in_sr = load_flac(flac)
         if in_sr != sr:
             audio = resample(audio, in_sr, sr)
-        save_wav(wavs / (flac.stem[:8] + ".wav"), audio, sr)
+        stem = flac.stem.rsplit(f"_{mic}", 1)[0]
+        save_wav(wavs / (stem + ".wav"), audio, sr)
         n += 1
         if limit is not None and n >= limit:
             break

@@ -107,13 +107,20 @@ def load_wav(path, target_sr: Optional[int] = None):
         frames = Path(path).stat().st_size * 4
     tsr = target_sr or sr
     cap = int(frames * max(1.0, tsr / sr) + 16)
-    out = np.empty(cap, np.float32)
     n = ctypes.c_int64()
-    rc = lib.si_load_wav(str(path).encode(), tsr if target_sr else 0,
-                         _fp(out), cap, ctypes.byref(n))
-    if rc != 0:
-        raise IOError(f"si_load_wav({path}) -> {rc}")
-    return out[:n.value].copy(), tsr
+    while True:
+        out = np.empty(cap, np.float32)
+        rc = lib.si_load_wav(str(path).encode(), tsr if target_sr else 0,
+                             _fp(out), cap, ctypes.byref(n))
+        if rc == -3 and n.value > cap:
+            # capacity estimate undershot (e.g. STREAMINFO omitted total
+            # samples and the stream is highly compressible); the C side
+            # reports the exact required length — reallocate and retry
+            cap = int(n.value)
+            continue
+        if rc != 0:
+            raise IOError(f"si_load_wav({path}) -> {rc}")
+        return out[:n.value].copy(), tsr
 
 
 def resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
