@@ -64,7 +64,12 @@ def main(argv=None):
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
+    from ..parallel.distributed import add_cli_args, initialize_from_args
+    add_cli_args(p)
     args = p.parse_args(argv)
+    # multi-host: join the process group BEFORE any jax dispatch
+    if initialize_from_args(args):
+        args.mesh = True
 
     km = (KMeans.load_joblib(args.kmeans)
           if args.kmeans.endswith((".km", ".bin"))

@@ -89,7 +89,14 @@ def main(argv=None):
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (SPMD data parallel)")
     p.add_argument("--seed", type=int, default=1234)
+    from ..parallel.distributed import add_cli_args, initialize_from_args
+    add_cli_args(p)
     args = p.parse_args(argv)
+    # multi-host: join the process group BEFORE any jax dispatch; jitted
+    # steps then span every host's devices (replacing mp.spawn + DDP,
+    # I_ea/hifi_gan/train.py:296-299)
+    if initialize_from_args(args):
+        args.mesh = True
 
     h = json.loads(Path(args.config).read_text()) if args.config else {}
     gcfg = HiFiGANConfig.from_dict(h) if h else HiFiGANConfig()

@@ -23,11 +23,14 @@ def device_prefetch(batches: Iterable, *, size: int = 2,
 
     With a mesh, batch arrays are sharded over `axis` along dim 0 (the SPMD
     data-parallel layout); without one they land on the default device.
+    Under a multi-process runtime (jax.distributed) each process feeds its
+    LOCAL shard of the global batch — assembled into global arrays via
+    parallel.distributed.shard_host_batch (the DistributedSampler
+    replacement).
     """
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(axis))
-        put = lambda b: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), b)
+        from ..parallel.distributed import shard_host_batch
+        put = lambda b: shard_host_batch(mesh, b, P(axis))
     else:
         put = lambda b: jax.tree_util.tree_map(jax.device_put, b)
 

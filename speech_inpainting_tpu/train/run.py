@@ -18,6 +18,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
 from ..data.pipeline import device_prefetch
+from ..parallel.distributed import (is_coordinator, local_batches,
+                                    shard_host_batch)
 from ..utils.checkpoints import (Checkpointer, restore_gan_checkpoint,
                                  save_gan_checkpoint)
 from ..utils.logging import TrainLogger
@@ -77,35 +79,41 @@ def _mesh_jit(step_fn: Callable, run: RunConfig):
     data = NamedSharding(run.mesh, PartitionSpec("dp"))
     jstep = jax.jit(step_fn, in_shardings=(repl, data),
                     out_shardings=(repl, repl))
-    return jstep, lambda s: jax.device_put(s, repl)
+    # shard_host_batch handles the multi-process (non-addressable-device)
+    # replication path; single-process it is a plain device_put
+    return jstep, lambda s: shard_host_batch(run.mesh, s, PartitionSpec())
 
 
 def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                      run: RunConfig, *, valid_fn: Optional[Callable] = None):
     """Drive a GAN train state: step_fn(state, batch), make_batches(epoch) →
     iterable of host batches. Returns the final state."""
+    coord = is_coordinator()
     ckpt = Checkpointer(run.checkpoint_dir)
     state, had_g, had_do = restore_gan_checkpoint(ckpt, state)
-    if had_g or had_do:
+    if (had_g or had_do) and coord:
         print(f"resumed from step {int(state.step)}")
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
-                         summary_interval=run.summary_interval)
+                         summary_interval=run.summary_interval,
+                         quiet=not coord)
     jstep, place = _mesh_jit(step_fn, run)
     state = place(state)
     steps = int(state.step)
     with PreemptionGuard() as pre:
         for epoch in range(run.epochs):
-            for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+            for batch in device_prefetch(local_batches(make_batches(epoch)),
+                                         mesh=run.mesh):
                 state, metrics = jstep(state, batch)
                 steps += 1
                 logger.step(steps, {k: v for k, v in metrics.items()
                                     if np.ndim(v) == 0})
                 if pre.requested:
-                    save_gan_checkpoint(ckpt, state, steps, wait=True)
-                    print(f"preempted: saved g_/do_ at step {steps}")
+                    if coord:
+                        save_gan_checkpoint(ckpt, state, steps, wait=True)
+                        print(f"preempted: saved g_/do_ at step {steps}")
                     logger.close()
                     return state
-                if steps % run.checkpoint_interval == 0:
+                if steps % run.checkpoint_interval == 0 and coord:
                     save_gan_checkpoint(ckpt, state, steps)
                 if valid_fn is not None and \
                         steps % run.validation_interval == 0:
@@ -117,7 +125,8 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
             else:
                 continue
             break
-    save_gan_checkpoint(ckpt, state, steps, wait=True)
+    if coord:
+        save_gan_checkpoint(ckpt, state, steps, wait=True)
     logger.close()
     return state
 
@@ -127,9 +136,11 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
                     run: RunConfig):
     """I_ea loop: validation sweep every `validation_interval` batches with
     best-cosine-accuracy model selection (main.py:209-265)."""
+    coord = is_coordinator()
     ckpt = Checkpointer(run.checkpoint_dir)
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
-                         summary_interval=run.summary_interval)
+                         summary_interval=run.summary_interval,
+                         quiet=not coord)
     jstep, place = _mesh_jit(step_fn, run)
     # full-state resume (params + optimizer + counter): the reference's I_ea
     # loop restarts from bare model weights only (main.py:259-273); ea_*
@@ -137,23 +148,26 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
     full = ckpt.restore("ea_", state)
     if full is not None:
         state = full
-        print(f"resumed from step {int(state.step)}")
+        if coord:
+            print(f"resumed from step {int(state.step)}")
     state = place(state)
     best_acc = -np.inf
     steps = int(state.step)
     with PreemptionGuard() as pre:
         for epoch in range(run.epochs):
-            for batch in device_prefetch(make_batches(epoch), mesh=run.mesh):
+            for batch in device_prefetch(local_batches(make_batches(epoch)),
+                                         mesh=run.mesh):
                 state, metrics = jstep(state, batch)
                 steps += 1
                 logger.step(steps, {k: v for k, v in metrics.items()
                                     if np.ndim(v) == 0})
                 if pre.requested:
-                    ckpt.save("ea_", steps, state, wait=True)
-                    print(f"preempted: saved ea_ at step {steps}")
+                    if coord:
+                        ckpt.save("ea_", steps, state, wait=True)
+                        print(f"preempted: saved ea_ at step {steps}")
                     logger.close()
                     return state
-                if steps % run.checkpoint_interval == 0:
+                if steps % run.checkpoint_interval == 0 and coord:
                     ckpt.save("ea_", steps, state)
                 if steps % run.validation_interval == 0:
                     vals = [eval_fn(state.params, vb)
@@ -165,14 +179,18 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
                             logger.scalar(f"validation/{k}", v, steps)
                         if mean.get("cos_sim_acc", -np.inf) > best_acc:
                             best_acc = mean["cos_sim_acc"]
-                            ckpt.save("best_", 0, {"model": state.params})
+                            if coord:
+                                ckpt.save("best_", 0,
+                                          {"model": state.params})
                 if run.training_steps and steps >= run.training_steps:
                     break
             else:
-                ckpt.save("last_", 0, {"model": state.params})
+                if coord:
+                    ckpt.save("last_", 0, {"model": state.params})
                 continue
             break
-    ckpt.save("ea_", steps, state)
-    ckpt.save("last_", 0, {"model": state.params}, wait=True)
+    if coord:
+        ckpt.save("ea_", steps, state)
+        ckpt.save("last_", 0, {"model": state.params}, wait=True)
     logger.close()
     return state
