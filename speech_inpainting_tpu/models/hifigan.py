@@ -174,12 +174,25 @@ class MultiPeriodDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, y, y_hat):
+    def __call__(self, y, y_hat, batched: bool = False):
+        """batched=True runs (real, fake) as ONE 2B forward per period —
+        bit-identical outputs (weight-norm convs are per-sample), half the
+        kernel launches at small shapes; the training-step speed knob
+        (GANConfig.batched_disc). The reference applies each discriminator
+        twice (I_ea/hifi_gan/models.py:141-151)."""
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        b = y.shape[0]
+        x2 = jnp.concatenate([y, y_hat], axis=0) if batched else None
         for i, p in enumerate(self.periods):
             d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
-            y_d_r, fmap_r = d(y)
-            y_d_g, fmap_g = d(y_hat)
+            if batched:
+                out, fmap = d(x2)
+                y_d_r, y_d_g = out[:b], out[b:]
+                fmap_r = [f[:b] for f in fmap]
+                fmap_g = [f[b:] for f in fmap]
+            else:
+                y_d_r, fmap_r = d(y)
+                y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r); fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g); fmap_gs.append(fmap_g)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
@@ -228,16 +241,29 @@ class MultiScaleDiscriminator(nn.Module):
     scales: int = 3
 
     @nn.compact
-    def __call__(self, y, y_hat, train: bool = True):
+    def __call__(self, y, y_hat, train: bool = True, batched: bool = False):
+        """batched=True: weight-norm scales (1, 2) run (real, fake) as one
+        2B forward — bit-identical, fewer launches. Scale 0 keeps its two
+        sequential calls regardless: its spectral-norm power iteration
+        advances once per forward in train mode (torch semantics,
+        I_ea/hifi_gan/models.py:185-196), so real and fake legitimately see
+        different u/v — batching it would change training numerics."""
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        b = y.shape[0]
         for i in range(self.scales):
             d = DiscriminatorS(use_spectral_norm=(i == 0), dtype=self.dtype,
                                name=f"discriminators_{i}")
             if i != 0:
                 y = avg_pool1d(y, 4, 2, 2)
                 y_hat = avg_pool1d(y_hat, 4, 2, 2)
-            y_d_r, fmap_r = d(y, train)
-            y_d_g, fmap_g = d(y_hat, train)
+            if batched and i != 0:
+                out, fmap = d(jnp.concatenate([y, y_hat], axis=0), train)
+                y_d_r, y_d_g = out[:b], out[b:]
+                fmap_r = [f[:b] for f in fmap]
+                fmap_g = [f[b:] for f in fmap]
+            else:
+                y_d_r, fmap_r = d(y, train)
+                y_d_g, fmap_g = d(y_hat, train)
             y_d_rs.append(y_d_r); fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g); fmap_gs.append(fmap_g)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

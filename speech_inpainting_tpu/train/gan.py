@@ -41,6 +41,10 @@ class GANConfig:
     frozen_g_paths: tuple = ()       # top-level generator subtrees to freeze
                                      # (e.g. ("fo_vqvae",) — torch skips
                                      # requires_grad=False params entirely)
+    batched_disc: bool = False       # run (real, fake) through each
+                                     # weight-norm discriminator as ONE 2B
+                                     # forward — bit-identical outputs,
+                                     # fewer launches at small shapes
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -112,10 +116,11 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
     has_commit = cfg.lambda_commit > 0 or stateful_vq
 
     def disc_apply(d_params, spectral, y, y_hat):
-        pr, pg, pfr, pfg = mpd.apply({"params": d_params["mpd"]}, y, y_hat)
+        pr, pg, pfr, pfg = mpd.apply({"params": d_params["mpd"]}, y, y_hat,
+                                     cfg.batched_disc)
         (sr_, sg, sfr, sfg), new_spec = msd.apply(
             {"params": d_params["msd"], "spectral": spectral}, y, y_hat,
-            True, mutable=["spectral"])
+            True, cfg.batched_disc, mutable=["spectral"])
         return (pr, pg, pfr, pfg), (sr_, sg, sfr, sfg), new_spec["spectral"]
 
     def step(state: GANTrainState, batch):

@@ -157,3 +157,42 @@ def test_gan_step_learns(rng):
                 for a, b in zip(jax.tree_util.tree_leaves(spec),
                                 jax.tree_util.tree_leaves(state.spectral)))
     assert moved > 0
+
+
+def test_batched_disc_step_is_bit_identical(rng):
+    """GANConfig(batched_disc=True) — the (real, fake)-as-one-2B-forward
+    speed knob — must produce the SAME step as the two-call layout: losses
+    and updated params bit-identical (weight-norm discs are per-sample; the
+    spectral-norm scale keeps its sequential power-iteration path)."""
+    _, (cfg, gp, mpdp, msdp, spec), (mel_in, y) = build_pair(rng)
+    gen = Generator(cfg)
+
+    def gen_fwd(g_params, batch):
+        return gen.apply({"params": g_params}, batch["mel"])
+
+    batch = {"mel": jnp.asarray(mel_in), "audio": jnp.asarray(y),
+             "mel_loss": mel_spectrogram(jnp.asarray(y[:, 0]), MEL)}
+    results = []
+    for batched in (False, True):
+        gan_cfg = GANConfig(batched_disc=batched)
+        step = jax.jit(make_gan_step(
+            gen_fwd, lambda w: mel_spectrogram(w, MEL), gan_cfg))
+        state = create_gan_state(gan_cfg, gp, mpdp, msdp, spec)
+        results.append(step(state, batch))
+    (s0, m0), (s1, m1) = results
+    for k in ("loss_disc", "loss_gen_all", "mel_error"):
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-6,
+                                   err_msg=k)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.g_params),
+            jax.tree_util.tree_leaves_with_path(s0.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(ka))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.d_params),
+            jax.tree_util.tree_leaves_with_path(s0.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(ka))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.spectral),
+                    jax.tree_util.tree_leaves(s0.spectral)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
