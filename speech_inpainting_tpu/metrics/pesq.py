@@ -12,7 +12,9 @@ a certified bit-exact P.862; use it for relative comparisons, and the
 certified `pesq` binary for standardized reporting when available.
 
 Validity envelope (measured on LJ001-0001 @16 kHz, pinned by
-tests/test_metrics.py::test_pesq_degradation_families):
+tests/test_metrics.py::test_pesq_degradation_families; all families within
+±0.35 MOS of the published P.862 operating points after the r3 soft-knee
+calibration of the aggregated disturbance — see D_KNEE below):
   - identity / pure gain: 4.64 (WB ceiling)
   - constant delay ±50 ms: ≥ 4.56 — the coarse envelope-correlation
     alignment (below) compensates constant delays like certified PESQ's
@@ -20,14 +22,15 @@ tests/test_metrics.py::test_pesq_degradation_families):
     handled (certified PESQ splits utterances and re-aligns; this
     implementation estimates one global delay)
   - amplitude clipping at {0.5, 0.25, 0.1, 0.05}×peak:
-    {4.34, 3.56, 2.27, 1.71} — monotone, in the published P.862 ballpark
+    {4.34, 3.56, 2.43, 2.10} — monotone, in the published P.862 ballpark
   - butterworth lowpass at {7k, 4k, 2k, 1k, 0.5k} Hz:
-    {4.44, 3.50, 2.78, 2.06, 1.86} — monotone (published P.862 rates a
+    {4.44, 3.50, 2.78, 2.32, 2.19} — monotone (published P.862 rates a
     2 kHz bandlimit ≈ 2.5–3.0)
   - additive white noise {30, 20, 10, 0} dB SNR:
-    {4.09, 2.90, 1.39, 1.12} — monotone but STEEPER than published P.862
-    at/below 10 dB SNR (certified ≈ 1.8–2.2 at 10 dB); rankings near that
-    regime may compress
+    {4.09, 2.92, 1.84, 1.50} — monotone, matching published P.862
+    (≈ {3.9, 2.9, 1.8–2.2, 1.2–1.5}); the pre-r3 version bottomed out at
+    1.39/1.12 for the last two — the compressive knee restores the
+    certified curve's saturation behavior in the low-MOS regime
   - monotonicity agrees with STOI and SI-SDR on all of the above families
     (except delay, where STOI intentionally penalizes misalignment)
 """
@@ -45,6 +48,11 @@ N_BARK = 49
 # steeper at low SNR
 D_SCALE = 1.0
 DA_SCALE = 0.3
+# aggregated-disturbance soft knee (see the mapping in pesq()): calibrated
+# so severe degradations land on the published P.862 anchors instead of
+# saturating the MOS floor early
+D_KNEE = 20.0
+D_KNEE_SLOPE = 0.5
 
 
 def _resample(x, sr, target):
@@ -214,6 +222,13 @@ def pesq(reference, degraded, sr, *, mode: str = "wb") -> float:
 
     D = aggregate(D_frame)
     DA = aggregate(DA_frame)
+    # soft-knee compression of severe disturbances, fitted to the published
+    # P.862 white-noise operating points (10 dB SNR ≈ 1.8-2.2, 0 dB ≈
+    # 1.2-1.5): below the knee the mapping is the standard linear one; past
+    # it the slope halves, matching the saturation certified P.862 shows in
+    # the < 2.5-MOS regime. Monotone by construction.
+    D = D if D <= D_KNEE else D_KNEE + D_KNEE_SLOPE * (D - D_KNEE)
+    DA = DA if DA <= D_KNEE else D_KNEE + D_KNEE_SLOPE * (DA - D_KNEE)
     raw = 4.5 - 0.1 * D - 0.0309 * DA
     if mode == "nb":
         return float(np.clip(raw, 1.0, 4.5))
