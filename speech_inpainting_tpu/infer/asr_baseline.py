@@ -132,3 +132,36 @@ def asr_tts_baseline(y_masked: np.ndarray, mask_pos_s: tuple, *,
     out = asr_tts_inpaint(y_masked, y_synth, mask_pos_s, cfg)
     out["transcript"] = transcript
     return out
+
+
+class UnitResynthTTS:
+    """In-house TTS leg for the baseline: render the target text from a
+    DONOR recording of that text through the I_da unit stack (HuBERT units
+    + f0 → CodeGenerator waveform).
+
+    The reference's TTS leg is an external zero-shot model (YourTTS,
+    predict_asr.py:44-52) that speaks the ASR transcript in the target
+    voice; with zero egress no such model exists here, so "text" enters as
+    a donor recording of the same words — the informed-protocol analogue
+    (I_da/scripts/inpainting.py:209-214 conditions on clean-wav codes the
+    same way) — and the speaker-conditioned unit-to-wave is our own
+    CodeGenerator. The rendering is acoustically independent of the donor
+    waveform (vocoder-synthesized from discrete units), so the downstream
+    VAD→DTW→WSOLA→paste chain is exercised for real.
+
+    Matches the `tts(text, speaker_wav) -> wav` slot of asr_tts_baseline:
+    pass the donor recording as `transcript`/text.
+    """
+
+    def __init__(self, ida_inpainter, *, emb=None, spkr=None):
+        """emb/spkr: the speaker conditioning forwarded to the CodeGenerator
+        (the reference conditions its TTS on speaker wavs the same way)."""
+        self._inp = ida_inpainter
+        self._emb = emb
+        self._spkr = spkr
+
+    def __call__(self, donor_wav, speaker_wav=None):
+        import numpy as np
+        out = self._inp(np.asarray(donor_wav, np.float32), mask_size=0,
+                        emb=self._emb, spkr=self._spkr)
+        return out["audio_gen"]

@@ -36,7 +36,10 @@ class Resynthesizer:
     def __call__(self, code, f0=None, emb=None, spkr=None):
         """code (B, F) [+ f0 (B,1,Ff), emb (B,E) | spkr (B,)] → (wav (B,T),
         rtf). RTF = wall seconds per generated audio second (the reference's
-        `generate` meter)."""
+        `generate` meter, I_da/src/dataset.py:236-244). Single-utterance RTF
+        through the remote-TPU tunnel is dispatch-bound (~30 ms floor per
+        call) — treat it as a protocol measurement; the serving number is
+        the batched bench.py throughput."""
         from ..utils.timing import force
         code = jnp.asarray(code, jnp.int32)
         args = (self._params, code,
