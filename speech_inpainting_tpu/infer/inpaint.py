@@ -91,11 +91,20 @@ class InformedInpainter:
     """
 
     def __init__(self, cfg: InpainterConfig, hubert_params, generator_params,
-                 centroids):
+                 centroids, *, generator=None):
+        """`generator` overrides the vocoder module (same (B, in_dim, F) →
+        (B, 1, T) contract — e.g. models.hifigan_istft.ISTFTGenerator, the
+        fast-vocoder family trained on the identical recipe)."""
         self.cfg = cfg
         self._hubert = EncoderWithHead(cfg.hubert, out_dim=centroids.shape[-1])
         self._hubert_params = hubert_params
-        if cfg.fast_generator:
+        if generator is not None:
+            assert not cfg.fast_generator, \
+                "generator override and fast_generator are exclusive"
+            self._gen_apply = lambda gp, mel: generator.apply(
+                {"params": gp}, mel)
+            self._gen_params = generator_params
+        elif cfg.fast_generator:
             from ..models.hifigan_fast import FastGenerator
             engine = FastGenerator.from_params(
                 cfg.hifigan, generator_params,

@@ -60,10 +60,14 @@ def make_vanilla_step(cfg: HiFiGANTrainConfig, *, generator=None,
                          mpd=mpd, msd=msd)
 
 
-def make_modified_step(cfg: HiFiGANTrainConfig, centroids):
+def make_modified_step(cfg: HiFiGANTrainConfig, centroids, *,
+                       generator=None, mpd=None, msd=None):
     """Centroid-substitution fine-tune: batch = {'audio': (B,1,S),
-    'mask_start': (B,) int32 — random span start in hop-441 frames}."""
-    gen = Generator(cfg.hifigan)
+    'mask_start': (B,) int32 — random span start in hop-441 frames}.
+    `generator`/`mpd`/`msd` override the modules as in make_vanilla_step
+    (the iSTFT-head family trains on this recipe too — same mel frontend,
+    same GAN losses, faster waveform head)."""
+    gen = generator or Generator(cfg.hifigan)
     C = jnp.asarray(centroids, jnp.float32)          # (K, 80)
 
     def gen_fwd(g_params, batch):
@@ -83,7 +87,8 @@ def make_modified_step(cfg: HiFiGANTrainConfig, centroids):
         return gen.apply({"params": g_params}, ext_mel)
 
     return make_gan_step(gen_fwd,
-                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan)
+                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan,
+                         mpd=mpd, msd=msd)
 
 
 __all__ = ["HiFiGANTrainConfig", "GANConfig", "create_gan_state",
