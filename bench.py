@@ -26,6 +26,51 @@ def load_wavs():
     return (w22 / 32768.0).astype(np.float32), (w16 / 32768.0).astype(np.float32)
 
 
+def check_pallas():
+    """Compile fused_resblock1 NON-interpret on the chip and compare against
+    the XLA chain (VERDICT r2 #8): a libtpu/Mosaic bump that breaks the
+    kernel shows up in the round's bench artifact instead of a later debug
+    session. Serving defaults to the XLA path, so this is the only
+    automatic real-hardware signal the kernel gets."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.ops.conv import conv1d, get_padding
+    from speech_inpainting_tpu.ops.pallas_resblock import fused_resblock1
+
+    def unfused(x, w1, b1, w2, b2, dils, K):
+        for s, d in enumerate(dils):
+            h = jax.nn.leaky_relu(x, 0.1)
+            h = conv1d(h, w1[s], b1[s], dilation=d, padding=get_padding(K, d))
+            h = jax.nn.leaky_relu(h, 0.1)
+            h = conv1d(h, w2[s], b2[s], dilation=1, padding=get_padding(K, 1))
+            x = x + h
+        return x
+
+    rng = np.random.default_rng(7)
+    B, C, T, K, dils = 2, 32, 4096, 3, (1, 3, 5)
+    S = len(dils)
+    result = {}
+    try:
+        for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+            x = jnp.asarray(rng.standard_normal((B, C, T)), dtype)
+            w1 = jnp.asarray(rng.standard_normal((S, C, C, K)) * 0.1, dtype)
+            w2 = jnp.asarray(rng.standard_normal((S, C, C, K)) * 0.1, dtype)
+            b1 = jnp.asarray(rng.standard_normal((S, C)) * 0.1, dtype)
+            b2 = jnp.asarray(rng.standard_normal((S, C)) * 0.1, dtype)
+            got = np.asarray(jax.jit(lambda *a: fused_resblock1(
+                *a, dilations=dils, tile=2048))(x, w1, b1, w2, b2),
+                np.float32)
+            want = np.asarray(jax.jit(lambda *a: unfused(*a, dils, K))(
+                x, w1, b1, w2, b2), np.float32)
+            rel = float(np.abs(got - want).max()
+                        / max(np.abs(want).max(), 1e-8))
+            result[f"rel_err_{jnp.dtype(dtype).name}"] = round(rel, 8)
+            result["ok"] = result.get("ok", True) and rel < tol
+    except Exception as e:
+        result = {"ok": False, "error": f"{type(e).__name__}: {e}"[:200]}
+    return result
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,6 +132,9 @@ def main():
         "unit": "audio-sec/sec/chip (HuBERT-base+HiFi-GAN-V1, 200ms mask, "
                 f"bf16, batch {B}x{seconds:.0f}s)",
         "vs_baseline": round(rtf / 50.0, 3),
+        # real-hardware Mosaic revalidation of the Pallas kernel family
+        # (serving uses the XLA path; this is the kernels' canary)
+        "pallas_fused_resblock1": check_pallas(),
     }))
 
 
