@@ -19,7 +19,14 @@ import time
 import numpy as np
 
 
-def bench_gan(dtype, iters: int = 5):
+# v5e-1 peaks for the roofline floors (same constants CLAUDE.md's serving
+# analysis uses): 197 TF/s bf16, ~98 TF/s f32 MXU, 819 GB/s HBM
+PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
+PEAK_HBM = 819e9
+
+
+def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
+              folded_mpd: bool = False, roofline: bool = False):
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hifigan import (
@@ -33,7 +40,9 @@ def bench_gan(dtype, iters: int = 5):
 
     B, SEG = 16, 8192
     gcfg = HiFiGANConfig(dtype=dtype)   # V1: up [8,8,2,2], ch 512, k {3,7,11}
-    cfg = HiFiGANTrainConfig(gan=GANConfig(), hifigan=gcfg, segment_size=SEG)
+    cfg = HiFiGANTrainConfig(
+        gan=GANConfig(batched_disc=batched_disc, folded_mpd=folded_mpd),
+        hifigan=gcfg, segment_size=SEG)
     gen = Generator(gcfg)
     rng = np.random.default_rng(0)
     gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
@@ -43,28 +52,54 @@ def bench_gan(dtype, iters: int = 5):
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(cfg.gan, gp, dp, sv["params"], sv["spectral"])
-    step = jax.jit(make_vanilla_step(cfg))
+    jstep = jax.jit(make_vanilla_step(cfg))
     batch = {"audio": y}
 
     t0 = time.perf_counter()
-    state, m = step(state, batch)
+    state, m = jstep(state, batch)
     force(m)
     compile_s = time.perf_counter() - t0
     best = np.inf
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, m = step(state, batch)
+        state, m = jstep(state, batch)
         force(m)
         best = min(best, time.perf_counter() - t0)
     sps = 1.0 / best
     audio_sps = sps * B * SEG / 22050.0
-    print(json.dumps({
+    key = "bf16" if dtype != jnp.float32 else "f32"
+    out = {
         "metric": "hifigan_v1_gan_train_step",
-        "value": round(sps, 3), "unit": f"steps/sec (B16 x seg8192, "
-        f"{'bf16' if dtype != jnp.float32 else 'f32'})",
+        "value": round(sps, 3),
+        "unit": f"steps/sec (B16 x seg8192, {key}"
+                f"{', batched-disc' if batched_disc else ''}"
+                f"{', folded-mpd' if folded_mpd else ''})",
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
-    }))
+    }
+    if roofline:
+        # whole-step XLA cost analysis -> compute/memory floors (the same
+        # accounting CLAUDE.md records for the serving graph); reuse the
+        # already-jitted step so no second compile is paid
+        cost = jstep.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        floor_c = flops / PEAK_FLOPS[key]
+        floor_m = byts / PEAK_HBM
+        out["roofline"] = {
+            "tflops_per_step": round(flops / 1e12, 3),
+            "gbytes_per_step": round(byts / 1e9, 2),
+            "compute_floor_ms": round(floor_c * 1e3, 2),
+            "memory_floor_ms": round(floor_m * 1e3, 2),
+            "measured_ms": round(best * 1e3, 2),
+            "pct_of_roofline": round(
+                100 * max(floor_c, floor_m) / best, 1),
+            "achieved_tflops_per_sec": round(flops / best / 1e12, 2),
+        }
+    print(json.dumps(out))
+    return out
 
 
 def bench_ea(dtype, iters: int = 5):
@@ -122,6 +157,15 @@ def main():
     ap.add_argument("--workload", default="all", choices=["gan", "ea", "all"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul/conv params (reference trains f32)")
+    ap.add_argument("--batched-disc", action="store_true",
+                    help="real+fake through each weight-norm discriminator "
+                         "as one 2B forward (bit-identical; see train/gan)")
+    ap.add_argument("--folded-mpd", action="store_true",
+                    help="MPD period fold laid out (B,C,p,T/p) — long axis "
+                         "on the TPU lanes (same params/losses)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="XLA cost analysis -> compute/memory floors for "
+                         "the GAN step")
     args = ap.parse_args()
     if args.cache:
         from speech_inpainting_tpu.utils.cache import enable_persistent_cache
@@ -129,7 +173,8 @@ def main():
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.workload in ("gan", "all"):
-        bench_gan(dtype)
+        bench_gan(dtype, batched_disc=args.batched_disc,
+                  folded_mpd=args.folded_mpd, roofline=args.roofline)
     if args.workload in ("ea", "all"):
         bench_ea(dtype)
 

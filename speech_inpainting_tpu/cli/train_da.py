@@ -62,7 +62,9 @@ def main(argv=None):
                       adam_b2=h.get("adam_b2", 0.99),
                       lr_decay=h.get("lr_decay", 0.999),
                       lambda_commit=h.get("lambda_commit_code", 0) or 0,
-                      frozen_g_paths=("fo_vqvae",)),
+                      frozen_g_paths=("fo_vqvae",),
+                      # bit-identical, ~10% faster (BENCH_TRAIN_r03.json)
+                      batched_disc=True),
         mel_loss=mel_loss, segment_size=h.get("segment_size", 8960),
         code_hop_size=h.get("code_hop_size", 320))
 

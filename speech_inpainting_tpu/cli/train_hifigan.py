@@ -106,7 +106,10 @@ def main(argv=None):
         gan=GANConfig(learning_rate=h.get("learning_rate", 2e-4),
                       adam_b1=h.get("adam_b1", 0.8),
                       adam_b2=h.get("adam_b2", 0.99),
-                      lr_decay=h.get("lr_decay", 0.999)),
+                      lr_decay=h.get("lr_decay", 0.999),
+                      # bit-identical to the two-call layout, ~10% faster
+                      # (BENCH_TRAIN_r03.json)
+                      batched_disc=True),
         hifigan=gcfg, segment_size=seg, mask_len=args.mask_len)
 
     if args.filelist:

@@ -111,13 +111,21 @@ class WNConvTranspose1d(nn.Module):
 
 
 class WNConv2d(nn.Module):
-    """weight_norm(Conv2d) with torch semantics (MPD discriminator convs)."""
+    """weight_norm(Conv2d) with torch semantics (MPD discriminator convs).
+
+    transpose_hw=True applies the SAME parameters with H and W swapped
+    (kernel/stride/padding transposed) for inputs whose axes are swapped —
+    the TPU layout knob for the MPD period fold (see DiscriminatorP): the
+    param tree and the computed values are unchanged, only the physical
+    layout the conv runs in differs.
+    """
     features: int
     kernel_size: Sequence[int]
     stride: Sequence[int] = (1, 1)
     padding: Sequence[int] = (0, 0)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    transpose_hw: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -130,8 +138,12 @@ class WNConv2d(nn.Module):
         w = weight_norm_kernel(v, g).astype(self.dtype)
         b = (self.param("b", torch_conv_init(fan_in), (self.features,))
              .astype(self.dtype) if self.use_bias else None)
-        return conv2d(x.astype(self.dtype), w, b, stride=tuple(self.stride),
-                      padding=tuple(self.padding))
+        stride, padding = tuple(self.stride), tuple(self.padding)
+        if self.transpose_hw:
+            w = jnp.swapaxes(w, 2, 3)
+            stride, padding = stride[::-1], padding[::-1]
+        return conv2d(x.astype(self.dtype), w, b, stride=stride,
+                      padding=padding)
 
 
 class SNConv1d(nn.Module):

@@ -136,11 +136,23 @@ class Generator(nn.Module):
 
 
 class DiscriminatorP(nn.Module):
-    """Period discriminator: fold 1D audio into (T/p, p) and run 2D convs."""
+    """Period discriminator: fold 1D audio into (T/p, p) and run 2D convs.
+
+    fold_periods=True is the TPU layout variant: the torch fold (B, C,
+    T/p, p) puts the tiny period p on the 128-lane (minor) axis, wasting
+    most of each HBM tile; instead the input is laid out (B, C, p, T/p)
+    — the long conv axis on the lanes — and every conv applies the SAME
+    parameters transposed (WNConv2d.transpose_hw). Outputs equal the
+    default layout with the last two axes swapped; every loss consumed
+    downstream (LSGAN means, feature-matching L1) is axis-order
+    invariant, so training is unchanged. Param tree identical — the knob
+    is checkpoint-compatible both ways.
+    """
     period: int
     kernel_size: int = 5
     stride: int = 3
     dtype: jnp.dtype = jnp.float32
+    fold_periods: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,19 +164,23 @@ class DiscriminatorP(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad)), mode="reflect")
             t = t + n_pad
         x = x.reshape(b, c, t // p, p)
+        if self.fold_periods:
+            x = jnp.swapaxes(x, 2, 3)                 # (B, C, p, T/p)
+        tp = self.fold_periods
         chans = (32, 128, 512, 1024)
         for i, ch in enumerate(chans):
             x = WNConv2d(ch, (self.kernel_size, 1), stride=(self.stride, 1),
                          padding=(get_padding(5, 1), 0), dtype=self.dtype,
-                         name=f"convs_{i}")(x)
+                         transpose_hw=tp, name=f"convs_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = WNConv2d(1024, (self.kernel_size, 1), stride=(1, 1),
-                     padding=(2, 0), dtype=self.dtype, name="convs_4")(x)
+                     padding=(2, 0), dtype=self.dtype, transpose_hw=tp,
+                     name="convs_4")(x)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
         x = WNConv2d(1, (3, 1), stride=(1, 1), padding=(1, 0),
-                     dtype=self.dtype, name="conv_post")(x)
+                     dtype=self.dtype, transpose_hw=tp, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -172,6 +188,7 @@ class DiscriminatorP(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     dtype: jnp.dtype = jnp.float32
+    fold_periods: bool = False   # TPU layout knob — see DiscriminatorP
 
     @nn.compact
     def __call__(self, y, y_hat, batched: bool = False):
@@ -184,7 +201,9 @@ class MultiPeriodDiscriminator(nn.Module):
         b = y.shape[0]
         x2 = jnp.concatenate([y, y_hat], axis=0) if batched else None
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
+            d = DiscriminatorP(p, dtype=self.dtype,
+                               fold_periods=self.fold_periods,
+                               name=f"discriminators_{i}")
             if batched:
                 out, fmap = d(x2)
                 y_d_r, y_d_g = out[:b], out[b:]

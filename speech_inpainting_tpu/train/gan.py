@@ -45,6 +45,10 @@ class GANConfig:
                                      # weight-norm discriminator as ONE 2B
                                      # forward — bit-identical outputs,
                                      # fewer launches at small shapes
+    folded_mpd: bool = False         # MPD period fold laid out (B,C,p,T/p)
+                                     # — long axis on the TPU lanes; same
+                                     # params/losses (models/hifigan.py
+                                     # DiscriminatorP.fold_periods)
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -110,7 +114,7 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
     mpd/msd: optional discriminator module overrides (reduced stacks keep
     integration-test compiles tractable; production uses the defaults).
     """
-    mpd = mpd or MultiPeriodDiscriminator()
+    mpd = mpd or MultiPeriodDiscriminator(fold_periods=cfg.folded_mpd)
     msd = msd or MultiScaleDiscriminator()
     g_opt, d_opt = _make_g_opt(cfg), _make_opt(cfg)
     has_commit = cfg.lambda_commit > 0 or stateful_vq

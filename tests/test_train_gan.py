@@ -196,3 +196,38 @@ def test_batched_disc_step_is_bit_identical(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.spectral),
                     jax.tree_util.tree_leaves(s0.spectral)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_folded_mpd_layout_equivalence(rng):
+    """DiscriminatorP.fold_periods — the (B,C,p,T/p) TPU lane layout — must
+    produce the same values as the torch layout: fmaps equal up to the
+    axis swap, scores equal as sets, and every GAN loss identical."""
+    from speech_inpainting_tpu import losses
+    from speech_inpainting_tpu.models.hifigan import MultiPeriodDiscriminator
+
+    y = jnp.asarray(rng.standard_normal((2, 1, 2048)) * 0.3, jnp.float32)
+    y_hat = jnp.asarray(rng.standard_normal((2, 1, 2048)) * 0.3, jnp.float32)
+    base = MultiPeriodDiscriminator()
+    folded = MultiPeriodDiscriminator(fold_periods=True)
+    params = base.init(jax.random.PRNGKey(0), y, y)["params"]
+
+    r0, g0, fr0, fg0 = jax.jit(lambda p: base.apply({"params": p}, y, y_hat)
+                               )(params)
+    r1, g1, fr1, fg1 = jax.jit(
+        lambda p: folded.apply({"params": p}, y, y_hat))(params)
+
+    for a, b in zip(fr0 + fg0, fr1 + fg1):       # per-disc fmap lists
+        for fa, fb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(fa),
+                                       np.swapaxes(np.asarray(fb), 2, 3),
+                                       atol=2e-5)
+    # losses (means — axis-order invariant) must match to fp noise
+    d0 = losses.discriminator_loss(r0, g0)[0]
+    d1 = losses.discriminator_loss(r1, g1)[0]
+    np.testing.assert_allclose(float(d1), float(d0), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(losses.generator_loss(g1)[0]),
+        float(losses.generator_loss(g0)[0]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(losses.feature_loss(fr1, fg1)),
+        float(losses.feature_loss(fr0, fg0)), rtol=1e-5)
