@@ -617,6 +617,13 @@ def stage_report(out, args):
     if baseline is not None:
         report["asr_tts_baseline"] = {"protocol": baseline["protocol"],
                                       "mean": baseline["mean"]}
+    report["wer_cer"] = (
+        "environment-blocked: the reference's Whisper-small WER/CER "
+        "(I_ea/metrics.py:80-119) is implemented in metrics/asr.py but no "
+        "local HF cache exists in this zero-egress sandbox, so the scorer "
+        "gates off. ESTOI (reported per mask length above) serves as the "
+        "offline intelligibility proxy; unit_acc in the I_ea table is the "
+        "discrete-content proxy.")
     if "rtf_note" in da:
         report["rtf_note"] = da["rtf_note"]
     path = Path(__file__).resolve().parents[1] / "EVAL_r03.json"

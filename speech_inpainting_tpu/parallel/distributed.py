@@ -58,14 +58,23 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     if num_processes is not None and num_processes <= 1:
         return False  # the dist.py:21-24 single-process contract
-    if coordinator_address is None and num_processes is None \
-            and process_id is None and not _cluster_env():
+    bare = (coordinator_address is None and num_processes is None
+            and process_id is None)
+    if bare and not _cluster_env():
         return False
     # must be set before backend init; harmless for TPU backends
     jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        if bare:
+            # autodetect attempted after the backend already initialized
+            # (e.g. single-host runs inside a TPU-env sandbox): joining is
+            # impossible and unnecessary — degrade to single-process
+            return False
+        raise
     return jax.process_count() > 1
 
 

@@ -113,3 +113,20 @@ def test_hybrid_mesh_single_process_shape():
     batch = {"x": np.arange(8, dtype=np.float32)}
     out = shard_host_batch(mesh, batch, P(("dcn", "ici")))
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+
+def test_local_batches_single_process_passthrough():
+    from speech_inpainting_tpu.parallel.distributed import local_batches
+    batches = [{"x": np.arange(8).reshape(8, 1)} for _ in range(3)]
+    got = list(local_batches(iter(batches)))
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[0]["x"], batches[0]["x"])
+
+
+def test_initialize_single_process_noop():
+    """num_processes<=1 (and a bare call outside any cluster env) must be a
+    no-op — the reference dist shim's works-on-one-device contract
+    (I_da/src/modules/dist.py:21-24)."""
+    from speech_inpainting_tpu.parallel.distributed import initialize
+    assert initialize(num_processes=1) is False
+    assert initialize() is False
