@@ -119,6 +119,16 @@ def test_shipped_config_presets_are_consumable():
     g = HiFiGANConfig.from_dict(h)
     assert g.total_upsample == h["hop_size"] == 256
 
+    # V1/V2/V3 follow the reference presets (I_ea/hifi_gan/config_v{1,2,3}
+    # .json): V2 = V1 at width 128, V3 = ResBlock2 at x256 upsample.
+    h2 = json.loads((root / "hifigan_v2.json").read_text())
+    g2 = HiFiGANConfig.from_dict(h2)
+    assert g2.upsample_initial_channel == 128 and g2.total_upsample == 256
+
+    h3 = json.loads((root / "hifigan_v3.json").read_text())
+    g3 = HiFiGANConfig.from_dict(h3)
+    assert g3.resblock == "2" and g3.total_upsample == 256
+
     hm = json.loads((root / "hifigan_ft_modified.json").read_text())
     assert hm["segment_size"] == 44288 and hm["mask_len"] == 20
 
