@@ -312,10 +312,21 @@ def stage_eval_ea(out, wavs22, wavs16):
         jnp.asarray(centroids))) for name, w in wavs22.items()}
     sweep = build_mask_sweep({n: len(w) for n, w in wavs16.items()},
                              n_positions=20)
+    # UER intelligibility proxy over the I_ea unit system itself (mel
+    # centroids @22k) — the offline stand-in for the blocked Whisper WER/CER
+    from speech_inpainting_tpu.metrics.units import UnitScorer
+    import jax
+    Cj = jnp.asarray(centroids)
+    _enc = jax.jit(lambda w: assign(
+        mel_spectrogram(w, HUBERT_ALIGNED_MEL_22K).T, Cj))
+    scorer = UnitScorer(lambda w: np.asarray(_enc(jnp.asarray(w))),
+                        rate=22050)
     t0 = time.perf_counter()
-    results = evaluate_sweep(inp, wavs22, wavs16, sweep, labels=labels)
+    results = evaluate_sweep(inp, wavs22, wavs16, sweep, labels=labels,
+                             unit_scorer=scorer)
     results["protocol"] = ("I_ea mask_pos_len: {20..400}ms x 20 positions, "
-                           "informed inpainting")
+                           "informed inpainting; uer = unit error rate vs "
+                           "clean (offline WER proxy, metrics/units.py)")
     print(f"eval_ea done in {time.perf_counter() - t0:.0f}s")
     with open(out / "eval_ea.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -479,6 +490,18 @@ def stage_da(out, wavs16, steps):
     _save(out / "da_g.pkl", state.g_params)
 
 
+def _hubert_unit_scorer(inp):
+    """UER scorer over the frozen-encoder unit system an IdaInpainter holds
+    (HuBERT tap-layer features -> unit k-means; quantize_with_kmeans.py
+    semantics). The offline stand-in for Whisper WER/CER."""
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.metrics.units import UnitScorer
+    enc = jax.jit(inp._units)
+    return UnitScorer(
+        lambda w: np.asarray(enc(inp._h_params, jnp.asarray(w))), rate=16000)
+
+
 def stage_eval_da(out, wavs22, wavs16):
     """The I_da inpainting protocol: {100..400} ms at fixed 1.5 s."""
     from speech_inpainting_tpu.infer.ida_inpaint import IdaInpainter
@@ -494,6 +517,7 @@ def stage_eval_da(out, wavs22, wavs16):
                        {"fo_vqvae": fovq["vq"]}, small_hubert(),
                        hp["hubert"], units_d["centroids"],
                        tap_layer=units_d["tap"])
+    scorer = _hubert_unit_scorer(inp)
     results = {}
     for name, w in wavs16.items():
         results[name] = {}
@@ -509,6 +533,7 @@ def stage_eval_da(out, wavs22, wavs16):
                 "stoi": float(stoi(gt[:n], est[:n], 16000)),
                 "estoi": float(stoi(gt[:n], est[:n], 16000, extended=True)),
                 "si_sdr": float(si_sdr(est[:n], gt[:n])),
+                "uer": float(scorer.uer(gt[:n], est[:n], 16000)),
                 "rtf": float(o["rtf"]),
             }
             print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
@@ -557,6 +582,7 @@ def stage_baseline(out, wavs16):
                        hp["hubert"], units_d["centroids"],
                        tap_layer=units_d["tap"])
     tts = UnitResynthTTS(inp)
+    scorer = _hubert_unit_scorer(inp)
     sr = 16000
     results = {}
     for name, w in wavs16.items():
@@ -576,6 +602,7 @@ def stage_baseline(out, wavs16):
                 "stoi": float(stoi(w[:n], est[:n], sr)),
                 "estoi": float(stoi(w[:n], est[:n], sr, extended=True)),
                 "si_sdr": float(si_sdr(est[:n], w[:n])),
+                "uer": float(scorer.uer(w[:n], est[:n], sr)),
             }
             print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
     agg = {}
@@ -621,9 +648,10 @@ def stage_report(out, args):
         "environment-blocked: the reference's Whisper-small WER/CER "
         "(I_ea/metrics.py:80-119) is implemented in metrics/asr.py but no "
         "local HF cache exists in this zero-egress sandbox, so the scorer "
-        "gates off. ESTOI (reported per mask length above) serves as the "
-        "offline intelligibility proxy; unit_acc in the I_ea table is the "
-        "discrete-content proxy.")
+        "gates off. The reported offline intelligibility proxy is `uer` — "
+        "the unit error rate (Levenshtein over run-length-collapsed "
+        "discrete-unit transcriptions, metrics/units.py) in every table "
+        "above; ESTOI and unit_acc complement it.")
     if "rtf_note" in da:
         report["rtf_note"] = da["rtf_note"]
     path = Path(__file__).resolve().parents[1] / "EVAL_r03.json"

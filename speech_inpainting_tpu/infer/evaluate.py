@@ -59,8 +59,8 @@ def load_mask_sweep(path):
 def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
                         positions_samples: Sequence[int], mask_ms: int,
                         *, whisper=None, target_text: Optional[str] = None,
-                        true_labels: Optional[np.ndarray] = None
-                        ) -> Dict[str, float]:
+                        true_labels: Optional[np.ndarray] = None,
+                        unit_scorer=None) -> Dict[str, float]:
     """Score one wav × one mask length over all positions (one device batch).
 
     Metrics are computed between the inpainted output and the clean 22 kHz
@@ -75,6 +75,10 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
       *_vs_exp    — inpainted vs expected_inpaint waveform metrics
       unit_acc    — predicted centroid ids == oracle ids in the masked span
       mel_l1_mask — |mel_inpainted − mel_expected| L1 over the masked span
+
+    `unit_scorer` (metrics.units.UnitScorer) adds `uer` — the unit error
+    rate of the inpainted vs clean waveform, the offline stand-in for the
+    reference's Whisper WER/CER column (I_ea/metrics.py:80-119).
     """
     n = len(positions_samples)
     mask_len_frames = mask_ms // 20
@@ -105,7 +109,9 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
     scores = {"pesq": [], "stoi": [], "estoi": [], "si_sdr": [],
               "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": [],
               "pesq_vs_exp": [], "stoi_vs_exp": [], "estoi_vs_exp": [],
-              "si_sdr_vs_exp": [], "unit_acc": [], "mel_l1_mask": []}
+              "si_sdr_vs_exp": [], "unit_acc": [], "mel_l1_mask": [],
+              "uer": []}
+    ref_units = unit_scorer.units(ref, 22050) if unit_scorer else None
     for i in range(n):
         est = inpainted[i]
         scores["pesq"].append(pesq(ref, est, 22050))
@@ -139,17 +145,23 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
             w, c, _ = whisper.wer_cer(est, 22050, target_text)
             scores["wer"].append(w)
             scores["cer"].append(c)
+        if unit_scorer is not None:
+            from ..metrics.units import unit_error_rate
+            scores["uer"].append(unit_error_rate(
+                ref_units, unit_scorer.units(est, 22050)))
     return {k: float(np.mean(v)) for k, v in scores.items() if v}
 
 
 def evaluate_sweep(inpainter, wavs22: Dict[str, np.ndarray],
                    wavs16: Dict[str, np.ndarray], sweep: Dict,
                    *, whisper=None, texts: Optional[Dict[str, str]] = None,
-                   labels: Optional[Dict[str, np.ndarray]] = None) -> Dict:
+                   labels: Optional[Dict[str, np.ndarray]] = None,
+                   unit_scorer=None) -> Dict:
     """Full protocol: every wav × mask length × position. Returns
     {wav: {mask_ms: metrics}} plus 'mean' aggregates per mask length.
     `labels`: optional {wav: full-grid oracle centroid ids} enabling the
-    vs-expected metrics (see evaluate_inpainting)."""
+    vs-expected metrics; `unit_scorer` adds the UER intelligibility proxy
+    (see evaluate_inpainting)."""
     results: Dict = {}
     for name, per_len in sweep.items():
         results[name] = {}
@@ -158,7 +170,8 @@ def evaluate_sweep(inpainter, wavs22: Dict[str, np.ndarray],
                 inpainter, wavs22[name], wavs16[name], positions, ms,
                 whisper=whisper,
                 target_text=(texts or {}).get(name),
-                true_labels=(labels or {}).get(name))
+                true_labels=(labels or {}).get(name),
+                unit_scorer=unit_scorer)
     agg: Dict[int, Dict[str, float]] = {}
     for name, per_len in results.items():
         for ms, metrics in per_len.items():

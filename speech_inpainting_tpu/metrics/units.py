@@ -1,0 +1,96 @@
+"""Unit error rate — the offline intelligibility proxy.
+
+The reference's intelligibility metric is Whisper-small WER/CER
+(I_ea/metrics.py:80-119). In a zero-egress environment with no ASR cache
+that scorer gates off, so this module provides the textless-NLP stand-in:
+**UER**, the Levenshtein edit distance between the run-length-collapsed
+discrete-unit transcriptions of the reference and degraded waveforms,
+normalized by the reference transcription length. Units are the same
+HuBERT-feature k-means ids the I_da pipeline trains on
+(I_da/scripts/quantize_with_kmeans.py:70-120), so the metric measures
+exactly what the unit-resynthesis stack treats as content: a deletion,
+insertion, or substitution of phonetic content in the degraded audio shows
+up as unit edits the way word edits show up in WER.
+
+Pure numpy; the encoder is injected as a callable so any unit system
+(fine-tuned mel centroids or frozen-feature k-means) can score.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+def collapse_runs(units: Sequence[int]) -> np.ndarray:
+    """Run-length dedupe: [5,5,5,9,9,5] -> [5,9,5] (GSLM unit convention —
+    repeated units encode duration, not content)."""
+    u = np.asarray(units)
+    if u.size == 0:
+        return u
+    keep = np.ones(u.shape[0], bool)
+    keep[1:] = u[1:] != u[:-1]
+    return u[keep]
+
+
+def levenshtein(a: Sequence[int], b: Sequence[int]) -> int:
+    """Edit distance (unit insert/delete/substitute all cost 1), O(|a|·|b|)
+    with a two-row numpy DP (vectorized over the inner axis)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.size == 0:
+        return int(b.size)
+    if b.size == 0:
+        return int(a.size)
+    prev = np.arange(b.size + 1)
+    for i in range(1, a.size + 1):
+        cur = np.empty(b.size + 1, prev.dtype)
+        cur[0] = i
+        sub = prev[:-1] + (b != a[i - 1])
+        dele = prev[1:] + 1
+        # insertion needs the running minimum along the row: fold it in with
+        # a cumulative min over (candidate - index), the standard trick to
+        # keep the row update vectorized
+        best = np.minimum(sub, dele)
+        run = np.minimum.accumulate(best - np.arange(1, b.size + 1))
+        cur[1:] = np.minimum(best, run + np.arange(2, b.size + 2) - 1)
+        prev = cur
+    return int(prev[-1])
+
+
+def unit_error_rate(ref_units: Sequence[int], hyp_units: Sequence[int],
+                    *, collapse: bool = True) -> float:
+    """Levenshtein(ref, hyp) / len(ref) over (optionally collapsed) units."""
+    r = collapse_runs(ref_units) if collapse else np.asarray(ref_units)
+    h = collapse_runs(hyp_units) if collapse else np.asarray(hyp_units)
+    if r.size == 0:
+        return 0.0 if h.size == 0 else float(h.size)
+    return levenshtein(r, h) / float(r.size)
+
+
+class UnitScorer:
+    """UER scorer around an injected `encode(wav: np.ndarray) -> unit ids`.
+
+    `uer(ref, est, sr)` resamples both waveforms to the encoder's sample
+    rate, encodes, and returns the unit error rate — the role
+    WhisperScorer.wer_cer plays when an ASR cache exists
+    (I_ea/metrics.py:80-119). `rate` is the rate `encode` expects: 16 kHz
+    for HuBERT-unit systems, 22.05 kHz for the I_ea mel-centroid system.
+    """
+
+    def __init__(self, encode: Callable[[np.ndarray], np.ndarray],
+                 rate: int = 16000):
+        self._encode = encode
+        self.rate = rate
+
+    def units(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        from ..data.audio import resample
+        w = np.asarray(wav, np.float32)
+        if sr != self.rate:
+            w = resample(w, sr, self.rate)
+        return np.asarray(self._encode(w))
+
+    def uer(self, ref: np.ndarray, est: np.ndarray, sr: int,
+            *, est_sr: int | None = None) -> float:
+        return unit_error_rate(self.units(ref, sr),
+                               self.units(est, est_sr or sr))

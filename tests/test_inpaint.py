@@ -222,3 +222,14 @@ def test_evaluate_inpainting_oracle_label_guard(rng):
     m_none = evaluate_inpainting(inp, w22, w16, [38 * 320], 100,
                                  true_labels=labels)
     assert "unit_acc" not in m_none and "pesq" in m_none
+
+    # unit_scorer wiring: the UER proxy column appears and is bounded
+    from speech_inpainting_tpu.metrics.units import UnitScorer
+
+    def enc(w):
+        n = (len(w) // 160) * 160
+        return (w[:n].reshape(-1, 160).mean(1) > 0).astype(np.int32)
+
+    m_uer = evaluate_inpainting(inp, w22, w16, [10 * 320], 100,
+                                unit_scorer=UnitScorer(enc, rate=22050))
+    assert "uer" in m_uer and m_uer["uer"] >= 0.0

@@ -1,0 +1,79 @@
+"""UER metric: edit-distance correctness + the scorer protocol.
+
+Role matched: the offline stand-in for the reference's Whisper WER/CER
+(I_ea/metrics.py:80-119) over I_da-style discrete units
+(I_da/scripts/quantize_with_kmeans.py:70-120).
+"""
+import numpy as np
+import pytest
+
+from speech_inpainting_tpu.metrics.units import (UnitScorer, collapse_runs,
+                                                 levenshtein,
+                                                 unit_error_rate)
+
+
+def _lev_ref(a, b):
+    """Textbook O(nm) scalar DP to check the vectorized row update."""
+    n, m = len(a), len(b)
+    d = np.zeros((n + 1, m + 1), int)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                          d[i - 1, j] + 1, d[i, j - 1] + 1)
+    return d[n, m]
+
+
+def test_collapse_runs():
+    assert collapse_runs([5, 5, 5, 9, 9, 5]).tolist() == [5, 9, 5]
+    assert collapse_runs([]).size == 0
+    assert collapse_runs([7]).tolist() == [7]
+
+
+@pytest.mark.parametrize("a,b,d", [
+    ([1, 2, 3], [1, 2, 3], 0),
+    ([1, 2, 3], [1, 9, 3], 1),       # substitution
+    ([1, 2, 3], [1, 3], 1),          # deletion
+    ([1, 3], [1, 2, 3], 1),          # insertion
+    ([], [4, 5], 2),
+    ([4, 5], [], 2),
+    ([1, 2, 3, 4], [4, 3, 2, 1], 4),
+])
+def test_levenshtein_known_cases(a, b, d):
+    assert levenshtein(a, b) == d
+
+
+def test_levenshtein_matches_scalar_dp_random():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        a = rng.integers(0, 6, rng.integers(0, 12))
+        b = rng.integers(0, 6, rng.integers(0, 12))
+        assert levenshtein(a, b) == _lev_ref(list(a), list(b))
+
+
+def test_uer_normalization_and_collapse():
+    # duration changes (longer runs) are free; content changes are not
+    assert unit_error_rate([1, 1, 2, 3], [1, 2, 2, 2, 3]) == 0.0
+    assert unit_error_rate([1, 2, 3], [1, 5, 3]) == pytest.approx(1 / 3)
+    assert unit_error_rate([], []) == 0.0
+
+
+def test_unit_scorer_resamples_and_scores():
+    # encoder = sign of 10 ms frame mean: deterministic, rate-sensitive
+    def encode(w16):
+        n = (len(w16) // 160) * 160
+        return (w16[:n].reshape(-1, 160).mean(1) > 0).astype(np.int32)
+
+    sc = UnitScorer(encode)
+    t = np.arange(32000) / 16000.0
+    ref = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+    same = sc.uer(ref, ref.copy(), 16000)
+    assert same == 0.0
+    # same signal at 22.05 kHz must score ~identically after resampling
+    t22 = np.arange(44100) / 22050.0
+    est22 = np.sin(2 * np.pi * 5 * t22).astype(np.float32)
+    assert sc.uer(ref, est22, 16000, est_sr=22050) <= 0.1
+    # destroying the content (constant signal -> a single collapsed unit)
+    # is heavily penalized
+    assert sc.uer(ref, np.ones_like(ref) * 0.5, 16000) > 0.5
