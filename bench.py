@@ -126,12 +126,35 @@ def main():
 
     audio_sec = B * out["inpainted"].shape[-1] / 22050.0
     rtf = audio_sec / best
+
+    # beyond-parity fast engine: same inpainting graph with the full-width
+    # iSTFT-head vocoder (models/hifigan_istft.py) in place of V1 — the
+    # architectural answer to the serving graph's HBM-bound tail
+    from speech_inpainting_tpu.models.hifigan_istft import (
+        ISTFTGenerator, ISTFTGeneratorConfig)
+    igen = ISTFTGenerator(ISTFTGeneratorConfig(dtype=jnp.bfloat16))
+    igp = igen.init(jax.random.PRNGKey(2), jnp.zeros((1, 80, 8)))["params"]
+    inp_fast = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
+                                 hp, igp, centroids, generator=igen)
+    out2 = force(inp_fast.batch(wav22, wav16, mask_pos, lens))   # compile
+    best2 = np.inf
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        out2 = force(inp_fast.batch(wav22, wav16, mask_pos, lens))
+        best2 = min(best2, time.perf_counter() - t0)
+    rtf2 = B * out2["inpainted"].shape[-1] / 22050.0 / best2
+
     print(json.dumps({
         "metric": "informed_inpaint_throughput",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip (HuBERT-base+HiFi-GAN-V1, 200ms mask, "
                 f"bf16, batch {B}x{seconds:.0f}s)",
         "vs_baseline": round(rtf / 50.0, 3),
+        # same graph, iSTFT-head vocoder at full width (ch512 trunk):
+        # the in-framework fast serving engine
+        "fast_engine_istft": {"value": round(rtf2, 2),
+                              "unit": "audio-sec/sec/chip",
+                              "vs_baseline": round(rtf2 / 50.0, 3)},
         # real-hardware Mosaic revalidation of the Pallas kernel family
         # (serving uses the XLA path; this is the kernels' canary)
         "pallas_fused_resblock1": check_pallas(),
