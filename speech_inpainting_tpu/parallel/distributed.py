@@ -23,7 +23,7 @@ behavior.
 Launch recipe (N hosts, one process each)::
 
     # host i of N (same command everywhere, different --process-id):
-    python -m speech_inpainting_tpu.cli.train_gan ... \
+    python -m speech_inpainting_tpu.cli.train_hifigan ... \
         --coordinator host0:1234 --num-processes N --process-id i
 
     # TPU pods: jax.distributed.initialize() autodetects — pass
@@ -80,10 +80,17 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def _cluster_env() -> bool:
     """True when a TPU-pod/cluster environment is detectable (lets bare
-    `initialize()` autodetect instead of silently running single-process)."""
+    `initialize()` autodetect instead of silently running single-process).
+
+    Covers the variables jax's own cluster detection keys on (GCE TPU VM
+    metadata surfaces as TPU_PROCESS_ADDRESSES / TPU_WORKER_ID /
+    CLOUD_TPU_TASK_ID, multislice as MEGASCALE_*) — a false positive only
+    costs the caught-RuntimeError fallback below, a false negative would
+    silently train N disjoint single-host jobs."""
     import os
     return any(k in os.environ for k in (
-        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES", "TPU_WORKER_ID",
+        "CLOUD_TPU_TASK_ID", "MEGASCALE_COORDINATOR_ADDRESS",
         "COORDINATOR_ADDRESS"))
 
 
@@ -91,6 +98,20 @@ def is_coordinator() -> bool:
     """Process 0 — the only one that should write checkpoints/TB logs
     (the reference gates on rank == 0, I_ea/hifi_gan/train.py:47-50)."""
     return jax.process_index() == 0
+
+
+def sync_from_coordinator(tree):
+    """Replicate process 0's pytree to every process — the rank-0 broadcast
+    DDP performs when it wraps the model (I_ea/hifi_gan/train.py:82-85).
+
+    Run this after checkpoint restore: on a non-shared filesystem (or after
+    a torn save) some ranks may restore while others keep fresh-init
+    params, and shard_host_batch(P()) would silently stitch the divergent
+    copies into one "replicated" global array. No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)
 
 
 def make_global_mesh(axes: Sequence[tuple] = (("dp", -1),)) -> Mesh:
@@ -186,4 +207,4 @@ def local_batches(batches):
 
 __all__ = ["initialize", "initialize_from_args", "add_cli_args",
            "is_coordinator", "local_batches", "make_global_mesh",
-           "make_hybrid_mesh", "shard_host_batch"]
+           "make_hybrid_mesh", "shard_host_batch", "sync_from_coordinator"]

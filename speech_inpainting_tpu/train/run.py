@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from ..data.pipeline import device_prefetch
 from ..parallel.distributed import (is_coordinator, local_batches,
-                                    shard_host_batch)
+                                    shard_host_batch, sync_from_coordinator)
 from ..utils.checkpoints import (Checkpointer, restore_gan_checkpoint,
                                  save_gan_checkpoint)
 from ..utils.logging import TrainLogger
@@ -91,6 +91,9 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
     coord = is_coordinator()
     ckpt = Checkpointer(run.checkpoint_dir)
     state, had_g, had_do = restore_gan_checkpoint(ckpt, state)
+    # rank-0 broadcast after restore: ranks whose checkpoint dir is stale or
+    # unshared must not enter the loop with divergent "replicated" state
+    state = sync_from_coordinator(state)
     if (had_g or had_do) and coord:
         print(f"resumed from step {int(state.step)}")
     logger = TrainLogger(run.log_dir, stdout_interval=run.stdout_interval,
@@ -150,6 +153,7 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
         state = full
         if coord:
             print(f"resumed from step {int(state.step)}")
+    state = sync_from_coordinator(state)   # rank-0 broadcast (see GAN loop)
     state = place(state)
     best_acc = -np.inf
     steps = int(state.step)

@@ -96,12 +96,21 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     from speech_inpainting_tpu.parallel.distributed import (
-        initialize, is_coordinator, make_global_mesh, make_hybrid_mesh)
+        initialize, is_coordinator, make_global_mesh, make_hybrid_mesh,
+        sync_from_coordinator)
     assert initialize(args.coordinator, args.num_processes, args.process_id)
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert jax.process_count() == args.num_processes
 
     step, state, batch = build_step()
+    # deliberately desync non-coordinator ranks, then rank-0-broadcast (the
+    # post-restore path run.py uses): the downstream equivalence assertion
+    # vs the single-process reference then also validates the sync — a
+    # broken broadcast would leave rank 1 perturbed and change the result
+    if not is_coordinator():
+        state = state.replace(params=jax.tree_util.tree_map(
+            lambda x: x + 1.0, state.params))
+    state = sync_from_coordinator(state)
     per = B_GLOBAL // args.num_processes
     lo = args.process_id * per
     local = {k: v[lo:lo + per] for k, v in batch.items()}
