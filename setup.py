@@ -25,6 +25,7 @@ setup(
             "sit-inpaint-da = speech_inpainting_tpu.cli.inpaint_da:main",
             "sit-kmeans = speech_inpainting_tpu.cli.kmeans_cli:main",
             "sit-prep = speech_inpainting_tpu.cli.prep:main",
+            "sit-vocode = speech_inpainting_tpu.cli.vocode:main",
         ]
     },
 )
