@@ -26,7 +26,8 @@ PEAK_HBM = 819e9
 
 
 def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
-              folded_mpd: bool = False, roofline: bool = False):
+              folded_mpd: bool = False, roofline: bool = False,
+              family: str = "v1"):
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hifigan import (
@@ -43,7 +44,14 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     cfg = HiFiGANTrainConfig(
         gan=GANConfig(batched_disc=batched_disc, folded_mpd=folded_mpd),
         hifigan=gcfg, segment_size=SEG)
-    gen = Generator(gcfg)
+    if family == "istft":
+        # the in-framework fast family at full width (iSTFTNet C8C8I):
+        # identical recipe/losses, iSTFT head instead of the x4 tail
+        from speech_inpainting_tpu.models.hifigan_istft import (
+            ISTFTGenerator, ISTFTGeneratorConfig)
+        gen = ISTFTGenerator(ISTFTGeneratorConfig(dtype=dtype))
+    else:
+        gen = Generator(gcfg)
     rng = np.random.default_rng(0)
     gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
     y = jnp.asarray((rng.standard_normal((B, 1, SEG)) * 0.2), jnp.float32)
@@ -52,7 +60,8 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(cfg.gan, gp, dp, sv["params"], sv["spectral"])
-    jstep = jax.jit(make_vanilla_step(cfg))
+    jstep = jax.jit(make_vanilla_step(
+        cfg, generator=gen if family == "istft" else None))
     batch = {"audio": y}
 
     t0 = time.perf_counter()
@@ -69,7 +78,7 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     audio_sps = sps * B * SEG / 22050.0
     key = "bf16" if dtype != jnp.float32 else "f32"
     out = {
-        "metric": "hifigan_v1_gan_train_step",
+        "metric": f"hifigan_{family}_gan_train_step",
         "value": round(sps, 3),
         "unit": f"steps/sec (B16 x seg8192, {key}"
                 f"{', batched-disc' if batched_disc else ''}"
@@ -154,7 +163,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache", action="store_true",
                     help="enable the persistent XLA compilation cache")
-    ap.add_argument("--workload", default="all", choices=["gan", "ea", "all"])
+    ap.add_argument("--workload", default="all",
+                    choices=["gan", "istft", "ea", "all"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul/conv params (reference trains f32)")
     ap.add_argument("--batched-disc", action="store_true",
@@ -175,6 +185,9 @@ def main():
     if args.workload in ("gan", "all"):
         bench_gan(dtype, batched_disc=args.batched_disc,
                   folded_mpd=args.folded_mpd, roofline=args.roofline)
+    if args.workload == "istft":
+        bench_gan(dtype, batched_disc=args.batched_disc,
+                  roofline=args.roofline, family="istft")
     if args.workload in ("ea", "all"):
         bench_ea(dtype)
 
