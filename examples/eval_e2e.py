@@ -221,9 +221,17 @@ def stage_hifigan(out, wavs22, steps):
     _save(out / "hifigan_g.pkl", state.g_params)
 
 
-def stage_ea(out, wavs22, wavs16, steps):
+def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     """Encoder adaptation from scratch: predict centroid ids of the masked
-    20-frame span (main.py loss/optimizer semantics, cos_sim loss)."""
+    20-frame span (main.py loss/optimizer semantics, cos_sim loss).
+
+    With ``holdout`` set, that utterance is EXCLUDED from encoder training —
+    the tiny-scale analogue of the reference's train/valid split
+    (I_ea/main.py:79-90 trains on the train manifest and sweeps masks on
+    validation wavs, I_ea/predict.yaml:5). Sweeping masks on the held-out
+    utterance is what makes the mask-length degradation trend measurable:
+    on training utterances an overfit encoder predicts units at ~1.0
+    accuracy for every mask length and the table goes flat."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hubert import EncoderWithHead
@@ -251,7 +259,10 @@ def stage_ea(out, wavs22, wavs16, steps):
     B, F = 8, 150                    # 3 s crops, 150 frames
     T = F * 320
     rng = np.random.default_rng(1)
-    names = list(wavs16)
+    names = [n for n in wavs16 if n != holdout]
+    assert names, f"holdout {holdout!r} leaves no training utterances"
+    if holdout is not None:
+        print(f"ea: training on {names}, holding out {holdout}")
 
     def batch():
         wav = np.zeros((B, T), np.float32)
@@ -287,7 +298,7 @@ def stage_ea(out, wavs22, wavs16, steps):
     _save(out / "ea_params.pkl", state.params)
 
 
-def stage_eval_ea(out, wavs22, wavs16):
+def stage_eval_ea(out, wavs22, wavs16, holdout=None):
     """The I_ea mask-sweep protocol with the trained stack. Oracle label
     tracks (the reference's <wav>_labels.pt role) enable the vs-expected
     metrics that isolate inpainting error from vocoder quality."""
@@ -300,6 +311,9 @@ def stage_eval_ea(out, wavs22, wavs16):
                                                mel_spectrogram)
     from speech_inpainting_tpu.quantize.kmeans import assign
     from speech_inpainting_tpu.models.hifigan_istft import ISTFTGenerator
+    if holdout is not None:          # sweep only the held-out utterance
+        wavs22 = {holdout: wavs22[holdout]}
+        wavs16 = {holdout: wavs16[holdout]}
     hp = _load(out / "ea_params.pkl")
     gp = _load(out / "hifigan_g.pkl")
     centroids = _load(out / "centroids.pkl")
@@ -327,8 +341,16 @@ def stage_eval_ea(out, wavs22, wavs16):
     results["protocol"] = ("I_ea mask_pos_len: {20..400}ms x 20 positions, "
                            "informed inpainting; uer = unit error rate vs "
                            "clean (offline WER proxy, metrics/units.py)")
+    fname = "eval_ea.json"
+    if holdout is not None:
+        results["holdout"] = holdout
+        results["mean_holdout"] = results[holdout]
+        results["protocol"] += (
+            f"; encoder trained with {holdout} HELD OUT (generalization "
+            "sweep — mean_holdout is the held-out utterance's table)")
+        fname = "eval_ea_holdout.json"
     print(f"eval_ea done in {time.perf_counter() - t0:.0f}s")
-    with open(out / "eval_ea.json", "w") as f:
+    with open(out / fname, "w") as f:
         json.dump(results, f, indent=2)
     for ms, mtr in sorted(results["mean"].items()):
         print(f"  {ms:3d}ms: " + " ".join(
@@ -337,7 +359,8 @@ def stage_eval_ea(out, wavs22, wavs16):
 
 def stage_feats(out, wavs16):
     """Frozen-encoder features -> content units (the I_da k-means over
-    HuBERT layer features, cluster_kmeans.py semantics)."""
+    HuBERT layer features, cluster_kmeans.py semantics). Pass pre-filtered
+    wavs16 (minus any held-out utterance) for the generalization leg."""
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hubert import HubertModel
     from speech_inpainting_tpu.quantize.kmeans import fit_kmeans
@@ -502,8 +525,17 @@ def _hubert_unit_scorer(inp):
         lambda w: np.asarray(enc(inp._h_params, jnp.asarray(w))), rate=16000)
 
 
-def stage_eval_da(out, wavs22, wavs16):
-    """The I_da inpainting protocol: {100..400} ms at fixed 1.5 s."""
+def stage_eval_da(out, wavs22, wavs16, holdout=None):
+    """The I_da inpainting protocol: {100..400} ms at fixed 1.5 s.
+
+    With ``holdout`` set, only that utterance is swept — pair with
+    --da-holdout so the whole I_da stack (unit k-means, f0-VQVAE, decoder;
+    plus the encoder via a held-out ea stage in the same --out) was trained
+    without it. That reproduces the reference's actual setting (decoder
+    trained on the train manifest, inpainting swept on other material,
+    I_da/scripts/inpainting.py) where degradation vs mask length shows."""
+    if holdout is not None:
+        wavs16 = {holdout: wavs16[holdout]}
     from speech_inpainting_tpu.infer.ida_inpaint import IdaInpainter
     from speech_inpainting_tpu.metrics.objective import si_sdr
     from speech_inpainting_tpu.metrics.pesq import pesq
@@ -551,7 +583,14 @@ def stage_eval_da(out, wavs22, wavs16):
         "dispatch through the remote TPU link) — a protocol measurement, "
         "not the serving number; batched serving throughput is bench.py's "
         "~1400x real-time (BENCH_r02.json)")
-    with open(out / "eval_da.json", "w") as f:
+    fname = "eval_da.json"
+    if holdout is not None:
+        results["holdout"] = holdout
+        results["protocol"] += (
+            f"; full I_da stack trained with {holdout} HELD OUT "
+            "(generalization sweep)")
+        fname = "eval_da_holdout.json"
+    with open(out / fname, "w") as f:
         json.dump(results, f, indent=2)
 
 
@@ -641,6 +680,26 @@ def stage_report(out, args):
         "I_ea": {"protocol": ea["protocol"], "mean": ea["mean"]},
         "I_da": {"protocol": da["protocol"], "mean": da["mean"]},
     }
+    if (out / "eval_ea_holdout.json").exists():
+        hold = json.load(open(out / "eval_ea_holdout.json"))
+        report["I_ea_holdout"] = {
+            "protocol": hold["protocol"], "holdout": hold["holdout"],
+            "mean": hold["mean_holdout"],
+            "note": ("encoder trained with the evaluated utterance held "
+                     "out — the generalization sweep where the mask-length "
+                     "degradation trend (README.md:8) is measurable; the "
+                     "I_ea table above is the train-utterance sweep, flat "
+                     "by construction at overfit scale (unit_acc ~1)")}
+    if (out / "eval_da_holdout.json").exists():
+        hold = json.load(open(out / "eval_da_holdout.json"))
+        report["I_da_holdout"] = {
+            "protocol": hold["protocol"], "holdout": hold["holdout"],
+            "mean": hold["mean"],
+            "note": ("entire I_da stack (encoder, unit k-means, f0-VQVAE, "
+                     "decoder) trained without the evaluated utterance — "
+                     "the reference's actual train/eval separation "
+                     "(I_da/scripts/inpainting.py sweeps non-training "
+                     "material)")}
     if baseline is not None:
         report["asr_tts_baseline"] = {"protocol": baseline["protocol"],
                                       "mean": baseline["mean"]}
@@ -660,6 +719,14 @@ def stage_report(out, args):
     print(f"wrote {path}")
 
 
+def _drop(wavs, holdout):
+    if holdout is None:
+        return wavs
+    kept = {n: w for n, w in wavs.items() if n != holdout}
+    assert kept, f"holdout {holdout!r} leaves no training utterances"
+    return kept
+
+
 STAGES = ["kmeans", "hifigan", "ea", "eval_ea", "feats", "f0vq", "da",
           "eval_da", "baseline", "report"]
 
@@ -673,6 +740,13 @@ def main():
     p.add_argument("--ea-steps", type=int, default=2000)
     p.add_argument("--f0vq-steps", type=int, default=500)
     p.add_argument("--da-steps", type=int, default=3000)
+    p.add_argument("--ea-holdout", default=None, metavar="NAME",
+                   help="exclude NAME from EA encoder training and sweep "
+                        "masks on it (writes eval_ea_holdout.json)")
+    p.add_argument("--da-holdout", default=None, metavar="NAME",
+                   help="exclude NAME from the I_da stack's training "
+                        "(feats/f0vq/da) and sweep only it in eval_da "
+                        "(writes eval_da_holdout.json)")
     args = p.parse_args()
     from speech_inpainting_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -689,17 +763,18 @@ def main():
         elif s == "hifigan":
             stage_hifigan(out, wavs22, args.hifigan_steps)
         elif s == "ea":
-            stage_ea(out, wavs22, wavs16, args.ea_steps)
+            stage_ea(out, wavs22, wavs16, args.ea_steps,
+                     holdout=args.ea_holdout)
         elif s == "eval_ea":
-            stage_eval_ea(out, wavs22, wavs16)
+            stage_eval_ea(out, wavs22, wavs16, holdout=args.ea_holdout)
         elif s == "feats":
-            stage_feats(out, wavs16)
+            stage_feats(out, _drop(wavs16, args.da_holdout))
         elif s == "f0vq":
-            stage_f0vq(out, wavs16, args.f0vq_steps)
+            stage_f0vq(out, _drop(wavs16, args.da_holdout), args.f0vq_steps)
         elif s == "da":
-            stage_da(out, wavs16, args.da_steps)
+            stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps)
         elif s == "eval_da":
-            stage_eval_da(out, wavs22, wavs16)
+            stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
         elif s == "baseline":
             stage_baseline(out, wavs16)
         elif s == "report":
