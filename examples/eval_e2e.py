@@ -701,8 +701,16 @@ def stage_report(out, args):
                      "(I_da/scripts/inpainting.py sweeps non-training "
                      "material)")}
     if baseline is not None:
-        report["asr_tts_baseline"] = {"protocol": baseline["protocol"],
-                                      "mean": baseline["mean"]}
+        report["asr_tts_baseline"] = {
+            "protocol": baseline["protocol"], "mean": baseline["mean"],
+            "note": ("donor-oracle UPPER BOUND at this scale: the only "
+                     "same-text donor recording available offline is the "
+                     "evaluated utterance itself, so the TTS leg renders "
+                     "near-copy audio and the row scores far above the "
+                     "inpainting systems; in the reference's setting (real "
+                     "zero-shot TTS, unseen text) this baseline loses to "
+                     "inpainting — compare the monotone degradation shape, "
+                     "not the absolute level")}
     report["wer_cer"] = (
         "environment-blocked: the reference's Whisper-small WER/CER "
         "(I_ea/metrics.py:80-119) is implemented in metrics/asr.py but no "
