@@ -699,7 +699,13 @@ def stage_report(out, args):
                      "decoder) trained without the evaluated utterance — "
                      "the reference's actual train/eval separation "
                      "(I_da/scripts/inpainting.py sweeps non-training "
-                     "material)")}
+                     "material). The absolute level is the one-utterance "
+                     "decoder's generalization floor: I_da resynthesizes "
+                     "the ENTIRE waveform from units (so an unseen speaker "
+                     "degrades everything, masked or not), unlike I_ea "
+                     "which splices predicted mel into the true mel; the "
+                     "row validates the held-out path, the mask-length "
+                     "trend lives in I_ea_holdout")}
     if baseline is not None:
         report["asr_tts_baseline"] = {
             "protocol": baseline["protocol"], "mean": baseline["mean"],
