@@ -74,15 +74,27 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
         state, m = jstep(state, batch)
         force(m)
         best = min(best, time.perf_counter() - t0)
-    sps = 1.0 / best
+    # pipelined throughput — the number a real training loop sees: loops
+    # sync only at logging intervals (train/run.py logs every N steps), so
+    # back-to-back dispatches overlap the tunnel round-trip that the synced
+    # measurement above pays on every step. This is the PRIMARY metric;
+    # the synced one is kept for cross-round comparability.
+    N = 30
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = jstep(state, batch)
+    force(m)
+    pipe = (time.perf_counter() - t0) / N
+    sps = 1.0 / pipe
     audio_sps = sps * B * SEG / 22050.0
     key = "bf16" if dtype != jnp.float32 else "f32"
     out = {
         "metric": f"hifigan_{family}_gan_train_step",
         "value": round(sps, 3),
-        "unit": f"steps/sec (B16 x seg8192, {key}"
+        "unit": f"steps/sec pipelined (B16 x seg8192, {key}"
                 f"{', batched-disc' if batched_disc else ''}"
                 f"{', folded-mpd' if folded_mpd else ''})",
+        "steps_per_sec_synced": round(1.0 / best, 3),
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
     }
@@ -102,10 +114,11 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
             "gbytes_per_step": round(byts / 1e9, 2),
             "compute_floor_ms": round(floor_c * 1e3, 2),
             "memory_floor_ms": round(floor_m * 1e3, 2),
-            "measured_ms": round(best * 1e3, 2),
+            "measured_ms": round(pipe * 1e3, 2),
+            "measured_ms_synced": round(best * 1e3, 2),
             "pct_of_roofline": round(
-                100 * max(floor_c, floor_m) / best, 1),
-            "achieved_tflops_per_sec": round(flops / best / 1e12, 2),
+                100 * max(floor_c, floor_m) / pipe, 1),
+            "achieved_tflops_per_sec": round(flops / pipe / 1e12, 2),
         }
     print(json.dumps(out))
     return out
@@ -148,12 +161,19 @@ def bench_ea(dtype, iters: int = 5):
         state, m = step(state, batch)
         force(m)
         best = min(best, time.perf_counter() - t0)
-    sps = 1.0 / best
+    N = 30                                  # pipelined (see bench_gan)
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = step(state, batch)
+    force(m)
+    pipe = (time.perf_counter() - t0) / N
+    sps = 1.0 / pipe
     audio_sps = sps * B * T / 16000.0
     print(json.dumps({
         "metric": "ea_hubert_base_train_step",
-        "value": round(sps, 3), "unit": f"steps/sec (B16 x 5s, "
+        "value": round(sps, 3), "unit": f"steps/sec pipelined (B16 x 5s, "
         f"{'bf16' if dtype != jnp.float32 else 'f32'})",
+        "steps_per_sec_synced": round(1.0 / best, 3),
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
     }))

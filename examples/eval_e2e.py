@@ -659,7 +659,7 @@ def stage_baseline(out, wavs16):
         json.dump(results, f, indent=2)
 
 
-def stage_report(out, args):
+def stage_report(out, args, dest=None):
     ea = json.load(open(out / "eval_ea.json"))
     da = json.load(open(out / "eval_da.json"))
     baseline = None
@@ -727,7 +727,7 @@ def stage_report(out, args):
         "above; ESTOI and unit_acc complement it.")
     if "rtf_note" in da:
         report["rtf_note"] = da["rtf_note"]
-    path = Path(__file__).resolve().parents[1] / "EVAL_r03.json"
+    path = dest or Path(__file__).resolve().parents[1] / "EVAL_r03.json"
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")

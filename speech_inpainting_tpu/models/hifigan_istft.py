@@ -22,12 +22,18 @@ generator override).
 
 Measured on v5e-1 (bf16, B256 × 345 mel frames — the serving shape):
   V1 generator 444 ms (2307× RT) vs iSTFT head 269 ms (3812× RT): 1.65×
-  faster inference. GAN training step (B16 × seg 8192, f32): 8.2 steps/s
-  vs V1's 2.7 — 3× — with healthy learning (mel error 1.92 → 0.60 in 400
-  real-audio steps). iSTFT numerics vs torch.istft: ≤2e-7 (f32, HIGHEST).
-  Equal-recipe quality (ch192, 2500 steps, overfit scale,
-  VOCODER_FAMILIES_r02.json): copy-synthesis PESQ 2.54 vs V1's 1.53 —
-  the head also converges faster at equal steps (matches the paper).
+  faster inference. GAN TRAINING step (B16 × seg 8192, f32, pipelined
+  dispatch — bench_train.py): 7.8 steps/s vs V1's 6.9, only ~1.14× —
+  the training step is discriminator-dominated (V1 runs at 81% of its
+  memory roofline, BENCH_TRAIN_r03.json), so shrinking the generator tail
+  buys little at train time. (An earlier "3× training" claim compared a
+  pipelined iSTFT loop against a per-step-synced V1 measurement — a
+  methodology mismatch, corrected round 3.) Learning is healthy: mel
+  error 1.92 → 0.60 in 400 real-audio steps. iSTFT numerics vs
+  torch.istft: ≤2e-7 (f32, HIGHEST). Equal-recipe quality (ch192, 2500
+  steps, overfit scale, VOCODER_FAMILIES_r02.json): copy-synthesis PESQ
+  2.54 vs V1's 1.53 — the head converges faster at equal steps (matches
+  the iSTFTNet paper) and raises the small-model vocoder floor.
 """
 from __future__ import annotations
 

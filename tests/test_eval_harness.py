@@ -1,0 +1,85 @@
+"""CPU tests for the eval harness's holdout plumbing and report merge
+(examples/eval_e2e.py). The harness drives the reference's two mask-sweep
+protocols (I_ea/mask_pos_len.py:32-35, I_da/scripts/inpainting.py:345-347);
+these tests pin the pure-python pieces: training-set filtering for the
+held-out generalization sweeps, and the report assembly EVAL_r03.json
+is built from.
+"""
+import importlib.util
+import json
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def ev():
+    spec = importlib.util.spec_from_file_location(
+        "eval_e2e", REPO / "examples" / "eval_e2e.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_drop_filters_holdout(ev):
+    wavs = {"a": 1, "b": 2}
+    assert ev._drop(wavs, None) is wavs
+    assert ev._drop(wavs, "b") == {"a": 1}
+    with pytest.raises(AssertionError):
+        ev._drop({"a": 1}, "a")
+
+
+def _sweep(ms_values, base):
+    return {str(ms): {"pesq": base - i * 0.01, "stoi": 0.7}
+            for i, ms in enumerate(ms_values)}
+
+
+def test_report_merges_holdout_tables(ev, tmp_path):
+    ea = {"protocol": "I_ea", "mean": _sweep((20, 400), 2.4)}
+    da = {"protocol": "I_da", "mean": _sweep((100, 400), 2.3),
+          "rtf_note": "dispatch-bound"}
+    hold_ea = {"protocol": "I_ea holdout", "holdout": "x",
+               "mean_holdout": _sweep((20, 400), 2.35)}
+    hold_da = {"protocol": "I_da holdout", "holdout": "x",
+               "mean": _sweep((100, 400), 1.7)}
+    base = {"protocol": "asr-tts", "mean": _sweep((100, 400), 4.3)}
+    for name, obj in [("eval_ea.json", ea), ("eval_da.json", da),
+                      ("eval_ea_holdout.json", hold_ea),
+                      ("eval_da_holdout.json", hold_da),
+                      ("eval_baseline.json", base)]:
+        (tmp_path / name).write_text(json.dumps(obj))
+
+    args = types.SimpleNamespace(hifigan_steps=1, ea_steps=1, f0vq_steps=1,
+                                 da_steps=1)
+    dest = tmp_path / "report.json"
+    ev.stage_report(tmp_path, args, dest=dest)
+    rep = json.loads(dest.read_text())
+
+    assert rep["I_ea"]["mean"] == ea["mean"]
+    assert rep["I_ea_holdout"]["mean"] == hold_ea["mean_holdout"]
+    assert rep["I_ea_holdout"]["holdout"] == "x"
+    assert rep["I_da_holdout"]["mean"] == hold_da["mean"]
+    assert rep["asr_tts_baseline"]["mean"] == base["mean"]
+    assert "upper bound".casefold() in \
+        rep["asr_tts_baseline"]["note"].casefold()
+    assert rep["rtf_note"] == "dispatch-bound"
+    assert "wer_cer" in rep  # the environment-blocked column is documented
+
+
+def test_report_without_optional_tables(ev, tmp_path):
+    (tmp_path / "eval_ea.json").write_text(json.dumps(
+        {"protocol": "I_ea", "mean": _sweep((20,), 2.4)}))
+    (tmp_path / "eval_da.json").write_text(json.dumps(
+        {"protocol": "I_da", "mean": _sweep((100,), 2.3)}))
+    args = types.SimpleNamespace(hifigan_steps=1, ea_steps=1, f0vq_steps=1,
+                                 da_steps=1)
+    dest = tmp_path / "report.json"
+    ev.stage_report(tmp_path, args, dest=dest)
+    rep = json.loads(dest.read_text())
+    for k in ("I_ea_holdout", "I_da_holdout", "asr_tts_baseline",
+              "rtf_note"):
+        assert k not in rep
