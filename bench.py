@@ -38,11 +38,19 @@ def check_pallas():
     from speech_inpainting_tpu.ops.pallas_resblock import fused_resblock1
 
     def unfused(x, w1, b1, w2, b2, dils, K):
+        # f32 reference must run HIGHEST precision: the kernel requests
+        # true-f32 MXU passes (ops/pallas_resblock.py:51-56), while XLA's
+        # DEFAULT f32 conv uses bf16 passes (~2.7e-3 rel) — comparing
+        # against the low-precision reference would flag a healthy kernel.
+        # bf16 stays DEFAULT: both sides are the native single pass.
+        prec = "highest" if x.dtype == jnp.float32 else None
         for s, d in enumerate(dils):
             h = jax.nn.leaky_relu(x, 0.1)
-            h = conv1d(h, w1[s], b1[s], dilation=d, padding=get_padding(K, d))
+            h = conv1d(h, w1[s], b1[s], dilation=d, padding=get_padding(K, d),
+                       precision=prec)
             h = jax.nn.leaky_relu(h, 0.1)
-            h = conv1d(h, w2[s], b2[s], dilation=1, padding=get_padding(K, 1))
+            h = conv1d(h, w2[s], b2[s], dilation=1, padding=get_padding(K, 1),
+                       precision=prec)
             x = x + h
         return x
 
@@ -125,7 +133,19 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     audio_sec = B * out["inpainted"].shape[-1] / 22050.0
-    rtf = audio_sec / best
+    rtf_synced = audio_sec / best
+
+    # throughput the way a saturated server runs: batches dispatched
+    # back-to-back, results drained asynchronously — one force at the end.
+    # The per-iteration force above pays the tunnel's ~quarter-second
+    # readback inside every measurement; that synced number is the
+    # per-batch LATENCY, kept alongside.
+    n_pipe = 10
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        out = inp.batch(wav22, wav16, mask_pos, lens)
+    force(out)
+    rtf = audio_sec / ((time.perf_counter() - t0) / n_pipe)
 
     # beyond-parity fast engine: same inpainting graph with the full-width
     # iSTFT-head vocoder (models/hifigan_istft.py) in place of V1 — the
@@ -137,19 +157,24 @@ def main():
     inp_fast = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
                                  hp, igp, centroids, generator=igen)
     out2 = force(inp_fast.batch(wav22, wav16, mask_pos, lens))   # compile
-    best2 = np.inf
-    for _ in range(n_iter):
-        t0 = time.perf_counter()
-        out2 = force(inp_fast.batch(wav22, wav16, mask_pos, lens))
-        best2 = min(best2, time.perf_counter() - t0)
-    rtf2 = B * out2["inpainted"].shape[-1] / 22050.0 / best2
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        out2 = inp_fast.batch(wav22, wav16, mask_pos, lens)
+    force(out2)
+    rtf2 = B * out2["inpainted"].shape[-1] / 22050.0 / (
+        (time.perf_counter() - t0) / n_pipe)
 
     print(json.dumps({
         "metric": "informed_inpaint_throughput",
         "value": round(rtf, 2),
-        "unit": "audio-sec/sec/chip (HuBERT-base+HiFi-GAN-V1, 200ms mask, "
-                f"bf16, batch {B}x{seconds:.0f}s)",
+        "unit": "audio-sec/sec/chip pipelined (HuBERT-base+HiFi-GAN-V1, "
+                f"200ms mask, bf16, batch {B}x{seconds:.0f}s)",
         "vs_baseline": round(rtf / 50.0, 3),
+        "synced_per_batch": {
+            "value": round(rtf_synced, 2),
+            "unit": "audio-sec/sec/chip with a device sync per batch (the "
+                    "r1/r2 methodology; includes the tunnel's per-readback "
+                    "cost — this is per-batch latency, not throughput)"},
         # same graph, iSTFT-head vocoder at full width (ch512 trunk):
         # the in-framework fast serving engine
         "fast_engine_istft": {"value": round(rtf2, 2),
