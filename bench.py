@@ -82,6 +82,8 @@ def check_pallas():
 def main():
     import jax
     import jax.numpy as jnp
+    from speech_inpainting_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()   # the flagship graphs take ~15 min cold
     from speech_inpainting_tpu.infer.inpaint import (InformedInpainter,
                                                      InpainterConfig)
     from speech_inpainting_tpu.models.hifigan import Generator, HiFiGANConfig
