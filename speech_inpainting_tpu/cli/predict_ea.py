@@ -8,6 +8,15 @@ orig/masked/hifi_masked/inpainted/expected_inpaint wavs (+ mel pngs).
       --wav x.wav --start-sec 1.0 --end-sec 1.2 \
       --hubert-checkpoint best_00000000 --hifigan-checkpoint g_02500000 \
       --kmeans model.npy --out prediction/
+
+Long-form mode (beyond the reference, whose predictor is capped at one short
+utterance — I_ea/config.yaml:11 max_wav_length 5 s): `--long-form` streams
+windows of the recording through the same graph (`infer/longform.py`), so any
+number of masks in an arbitrarily long file are inpainted with ONE compile:
+
+  python -m speech_inpainting_tpu.cli.predict_ea \
+      --wav hour_long.wav --long-form --mask 61.2-61.4 --mask 1803.0-1803.3 \
+      --hubert-checkpoint ... --hifigan-checkpoint ... --kmeans model.npy
 """
 from __future__ import annotations
 
@@ -85,11 +94,42 @@ def load_inpainter(args) -> InformedInpainter:
                              hp, gp, km.centroids)
 
 
+def parse_mask_spans(start_sec, end_sec, masks):
+    """Mask specs (seconds) -> (mask_pos, mask_len) on the global 20 ms frame
+    grid (pos from the 16 k/320-hop convention, predict.py:85-90)."""
+    spans = []
+    for s in masks or []:
+        a, _, b = s.partition("-")
+        spans.append((float(a), float(b)))
+    if start_sec is not None and end_sec is not None:
+        spans.append((start_sec, end_sec))
+    if not spans:
+        raise ValueError("give --start-sec/--end-sec or at least one --mask")
+    if any(b <= a for a, b in spans):
+        raise ValueError("mask end must be after its start")
+    pos = np.array([int(a * 16000) // 320 for a, b in spans], np.int64)
+    # round the ms count first: int() truncation turns (1.2-1.0)*1000 into
+    # 199 ms -> 9 frames instead of the intended 10
+    ln = np.array([max(round((b - a) * 1000) // 20, 1) for a, b in spans],
+                  np.int64)
+    return pos, ln
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--wav", required=True)
-    p.add_argument("--start-sec", type=float, required=True)
-    p.add_argument("--end-sec", type=float, required=True)
+    p.add_argument("--start-sec", type=float, default=None)
+    p.add_argument("--end-sec", type=float, default=None)
+    p.add_argument("--mask", action="append", metavar="START-END",
+                   help="mask span in seconds, repeatable "
+                        "(e.g. --mask 1.0-1.2 --mask 5.3-5.5)")
+    p.add_argument("--long-form", action="store_true",
+                   help="windowed streaming over a recording of any length "
+                        "(writes orig/masked/inpainted + spans.json)")
+    p.add_argument("--window-sec", type=float, default=4.0,
+                   help="long-form window length (one compile per value)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="long-form windows per device dispatch")
     p.add_argument("--hubert-checkpoint", required=True)
     p.add_argument("--hubert-type", default="large",
                    choices=["base", "large"])
@@ -103,13 +143,37 @@ def main(argv=None):
 
     wav22, _ = load_wav(args.wav, target_sr=22050)
     wav16, _ = load_wav(args.wav, target_sr=16000)
-    mask_pos = int(args.start_sec * 16000) // 320
-    mask_ms = int((args.end_sec - args.start_sec) * 1000)
-    mask_len = mask_ms // 20
+    try:
+        pos_arr, len_arr = parse_mask_spans(args.start_sec, args.end_sec,
+                                            args.mask)
+    except ValueError as e:
+        p.error(str(e))
+    if len(pos_arr) > 1 and not args.long_form:
+        p.error("multiple --mask spans require --long-form")
 
     inp = load_inpainter(args)
     out_dir = Path(args.out) / Path(args.wav).stem
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.long_form:
+        from ..infer.longform import LongFormConfig, LongFormInpainter
+        cfg = LongFormConfig(window_frames=max(int(args.window_sec * 50), 16),
+                             batch=args.batch)
+        out, spans = LongFormInpainter(inp, cfg)(wav22, wav16,
+                                                 pos_arr, len_arr)
+        masked = wav22.copy()
+        for q, n in zip(pos_arr, len_arr):
+            masked[q * 441:(q + n) * 441] = 0.0
+        save_wav(out_dir / "orig.wav", wav22, 22050)
+        save_wav(out_dir / "masked.wav", masked, 22050)
+        save_wav(out_dir / "inpainted.wav", out, 22050)
+        (out_dir / "spans.json").write_text(json.dumps(
+            {"pasted_sample_spans": [[int(a), int(b)] for a, b in spans],
+             "sr": 22050}))
+        print(f"{len(pos_arr)} mask(s) inpainted; artifacts -> {out_dir}")
+        return
+
+    mask_pos, mask_len = int(pos_arr[0]), int(len_arr[0])
 
     save_wav(out_dir / "orig.wav", wav16, 16000)
     out = inp(wav22, wav16, mask_pos, mask_len)

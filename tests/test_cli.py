@@ -120,3 +120,22 @@ def test_prep_splits_regimes(tmp_path, rng):
     va = {(n.split("_")[0], n.split("_", 1)[1]) for n in valid}
     assert not ({s for s, _ in tr} & {s for s, _ in va})
     assert not ({t for _, t in tr} & {t for _, t in va})
+
+
+def test_predict_ea_mask_span_parsing():
+    import pytest
+    from speech_inpainting_tpu.cli.predict_ea import parse_mask_spans
+
+    # single --start-sec/--end-sec span (predict.py:85-90 grid convention)
+    pos, ln = parse_mask_spans(1.0, 1.2, None)
+    assert list(pos) == [int(1.0 * 16000) // 320] and list(ln) == [10]
+    # repeatable --mask spans for long-form mode
+    pos, ln = parse_mask_spans(None, None, ["0.5-0.7", "3.0-3.4"])
+    assert list(pos) == [25, 150] and list(ln) == [10, 20]
+    # sub-frame span still masks at least one frame
+    _, ln = parse_mask_spans(None, None, ["0.50-0.51"])
+    assert list(ln) == [1]
+    with pytest.raises(ValueError):
+        parse_mask_spans(None, None, None)       # no span at all
+    with pytest.raises(ValueError):
+        parse_mask_spans(2.0, 1.0, None)         # end before start
