@@ -44,6 +44,10 @@ class HubertConfig:
     layer_norm_eps: float = 1e-5
     feat_proj_layer_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    # serving-only: run the transformer projections (q/k/v/o, MLP) on the
+    # int8 MXU path (ops/int8.py W8A8 dynamic quantization). Params stay f32
+    # — enable on an existing config with dataclasses.replace(cfg, int8=True).
+    int8: bool = False
 
     @staticmethod
     def base(**over) -> "HubertConfig":
@@ -147,6 +151,15 @@ class PositionalConvEmbedding(nn.Module):
         return jnp.swapaxes(out, 1, 2)
 
 
+def _dense(cfg: HubertConfig, features: int, name: str):
+    """nn.Dense, or its int8-MXU drop-in when cfg.int8 (identical params)."""
+    if cfg.int8:
+        from ..ops.int8 import Int8Dense
+        return Int8Dense(features, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, dtype=cfg.dtype, param_dtype=jnp.float32,
+                    name=name)
+
+
 class SelfAttention(nn.Module):
     cfg: HubertConfig
 
@@ -155,8 +168,7 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         h, nh = cfg.hidden_size, cfg.num_attention_heads
         hd = h // nh
-        dense = lambda name: nn.Dense(h, dtype=cfg.dtype, param_dtype=jnp.float32,
-                                      name=name)
+        dense = lambda name: _dense(cfg, h, name)
         q = dense("q_proj")(x) * (hd ** -0.5)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -178,11 +190,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
-                     param_dtype=jnp.float32, name="intermediate_dense")(x)
+        x = _dense(cfg, cfg.intermediate_size, "intermediate_dense")(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
-                        param_dtype=jnp.float32, name="output_dense")(x)
+        return _dense(cfg, cfg.hidden_size, "output_dense")(x)
 
 
 class EncoderLayer(nn.Module):
