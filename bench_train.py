@@ -25,6 +25,18 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 PEAK_HBM = 819e9
 
 
+def pipelined_step_time(run_window, n1: int = 5, n2: int = 35):
+    """Per-step time by loop-count differencing: time a short and a long
+    pipelined window (sync once at the end) and divide the difference.
+    The tunnel's constant dispatch+readback cost — observed from ~0.25 s up
+    to ~25 s in congested windows — cancels, so the recorded number can't
+    inherit a phantom regression from tunnel load. `run_window(n)` runs n
+    back-to-back steps and blocks on the last output."""
+    t1 = min(run_window(n1) for _ in range(2))
+    t2 = min(run_window(n2) for _ in range(2))
+    return max(t2 - t1, 1e-9) / (n2 - n1)
+
+
 def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
               folded_mpd: bool = False, roofline: bool = False,
               family: str = "v1"):
@@ -78,13 +90,19 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     # sync only at logging intervals (train/run.py logs every N steps), so
     # back-to-back dispatches overlap the tunnel round-trip that the synced
     # measurement above pays on every step. This is the PRIMARY metric;
-    # the synced one is kept for cross-round comparability.
-    N = 30
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state, m = jstep(state, batch)
-    force(m)
-    pipe = (time.perf_counter() - t0) / N
+    # the synced one is kept for cross-round comparability. Measured by
+    # loop-count differencing (pipelined_step_time) so the tunnel's constant
+    # costs cancel.
+    def window(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = jstep(state, batch)
+        force(m)
+        return time.perf_counter() - t0
+
+    pipe = pipelined_step_time(window)
     sps = 1.0 / pipe
     audio_sps = sps * B * SEG / 22050.0
     key = "bf16" if dtype != jnp.float32 else "f32"
@@ -161,12 +179,16 @@ def bench_ea(dtype, iters: int = 5):
         state, m = step(state, batch)
         force(m)
         best = min(best, time.perf_counter() - t0)
-    N = 30                                  # pipelined (see bench_gan)
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state, m = step(state, batch)
-    force(m)
-    pipe = (time.perf_counter() - t0) / N
+    def window(n):                          # pipelined (see bench_gan)
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, batch)
+        force(m)
+        return time.perf_counter() - t0
+
+    pipe = pipelined_step_time(window)
     sps = 1.0 / pipe
     audio_sps = sps * B * T / 16000.0
     print(json.dumps({

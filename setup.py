@@ -26,6 +26,7 @@ setup(
             "sit-kmeans = speech_inpainting_tpu.cli.kmeans_cli:main",
             "sit-prep = speech_inpainting_tpu.cli.prep:main",
             "sit-vocode = speech_inpainting_tpu.cli.vocode:main",
+            "sit-export = speech_inpainting_tpu.cli.export_aot:main",
         ]
     },
 )
