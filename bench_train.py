@@ -25,16 +25,15 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 PEAK_HBM = 819e9
 
 
-def pipelined_step_time(run_window, n1: int = 5, n2: int = 35):
-    """Per-step time by loop-count differencing: time a short and a long
-    pipelined window (sync once at the end) and divide the difference.
-    The tunnel's constant dispatch+readback cost — observed from ~0.25 s up
-    to ~25 s in congested windows — cancels, so the recorded number can't
-    inherit a phantom regression from tunnel load. `run_window(n)` runs n
-    back-to-back steps and blocks on the last output."""
-    t1 = min(run_window(n1) for _ in range(2))
-    t2 = min(run_window(n2) for _ in range(2))
-    return max(t2 - t1, 1e-9) / (n2 - n1)
+def pipelined_step_time(run_window, fallback_s, n1: int = 5, n2: int = 35):
+    """Per-step time by loop-count differencing (utils.timing
+    differenced_time: the tunnel's constant dispatch+readback cost cancels,
+    so the recorded number can't inherit a phantom regression from tunnel
+    load). Falls back to the per-step-synced measurement — never divides a
+    noise-clamped delta — returning (seconds, differenced?)."""
+    from speech_inpainting_tpu.utils.timing import differenced_time
+    dt = differenced_time(run_window, n1=n1, n2=n2)
+    return (fallback_s, False) if dt is None else (dt, True)
 
 
 def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
@@ -102,7 +101,7 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
         force(m)
         return time.perf_counter() - t0
 
-    pipe = pipelined_step_time(window)
+    pipe, differenced = pipelined_step_time(window, best)
     sps = 1.0 / pipe
     audio_sps = sps * B * SEG / 22050.0
     key = "bf16" if dtype != jnp.float32 else "f32"
@@ -113,6 +112,7 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
                 f"{', batched-disc' if batched_disc else ''}"
                 f"{', folded-mpd' if folded_mpd else ''})",
         "steps_per_sec_synced": round(1.0 / best, 3),
+        "differenced": differenced,
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
     }
@@ -188,7 +188,7 @@ def bench_ea(dtype, iters: int = 5):
         force(m)
         return time.perf_counter() - t0
 
-    pipe = pipelined_step_time(window)
+    pipe, differenced = pipelined_step_time(window, best)
     sps = 1.0 / pipe
     audio_sps = sps * B * T / 16000.0
     print(json.dumps({
@@ -196,6 +196,7 @@ def bench_ea(dtype, iters: int = 5):
         "value": round(sps, 3), "unit": f"steps/sec pipelined (B16 x 5s, "
         f"{'bf16' if dtype != jnp.float32 else 'f32'})",
         "steps_per_sec_synced": round(1.0 / best, 3),
+        "differenced": differenced,
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
     }))

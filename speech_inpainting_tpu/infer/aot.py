@@ -87,11 +87,16 @@ def save_serving_artifact(path, inpainter, t22: int, t16: int, batch=None,
     try:
         exp, params, meta = export_serving_graph(inpainter, t22, t16, batch,
                                                  platforms)
-    except Exception:
+    except Exception as e:
         if batch is not None:
             raise
+        # shape polymorphism is best-effort (some lowerings reject symbolic
+        # dims); record WHY it degraded so a static artifact is explainable
+        print("aot: batch-polymorphic export failed "
+              f"({type(e).__name__}: {e}); exporting static batch=1")
         exp, params, meta = export_serving_graph(inpainter, t22, t16, 1,
                                                  platforms)
+        meta["poly_export_error"] = f"{type(e).__name__}: {e}"[:500]
     (path / "graph.bin").write_bytes(exp.serialize())
     with open(path / "params.pkl", "wb") as f:
         pickle.dump(params, f)
@@ -116,7 +121,11 @@ class ServingArtifact:
         self._exp = jex.deserialize((path / "graph.bin").read_bytes())
         with open(path / "params.pkl", "rb") as f:
             params = pickle.load(f)
-        self._flat = jax.tree_util.tree_leaves(params)
+        # device-resident once: numpy leaves would be re-uploaded host→device
+        # on EVERY call (only jax Arrays stay resident), which through the
+        # tunnel would dwarf the graph itself
+        self._flat = [jax.device_put(x)
+                      for x in jax.tree_util.tree_leaves(params)]
         self._call = jax.jit(self._exp.call)
 
     def batch(self, wav22, wav16, mask_pos, mask_len):

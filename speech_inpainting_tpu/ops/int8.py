@@ -39,7 +39,7 @@ def quantize_rows(x, eps: float = 1e-8):
     """Symmetric per-row int8 quantization over the last axis.
 
     Returns (q, scale): q int8 with |q| <= 127, scale f32 broadcastable so
-    that q * scale ~= x. All-zero rows get scale eps (q = 0).
+    that q * scale ~= x. All-zero rows get scale eps/127 (q = 0).
     """
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, eps) / 127.0

@@ -33,3 +33,29 @@ def timeit(fn: Callable, *args, iters: int = 5, warmup: int = 1, **kw):
         force(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def differenced_time(run_window: Callable[[int], float], n1: int = 2,
+                     n2: int = 12, reps: int = 2, attempts: int = 3):
+    """Per-iteration seconds by loop-count differencing, or None.
+
+    `run_window(n)` runs n back-to-back iterations (pipelined dispatch) and
+    blocks once on the last output, returning its wall seconds. The delta
+    (T(n2) − T(n1)) / (n2 − n1) cancels the constant dispatch+readback cost
+    the tunnel adds per window — observed anywhere from ~0.25 s to ~25 s
+    under congestion — so the recorded number can't inherit a phantom
+    regression from tunnel load.
+
+    Congestion noise can also make the delta non-positive or larger than the
+    short window's own per-iteration bound (impossible if the constant cost
+    is nonnegative); such measurements are retried up to `attempts` times
+    and None is returned if none is credible — callers must fall back to a
+    synced measurement and say so, never divide by a clamped delta.
+    """
+    for _ in range(attempts):
+        t1 = min(run_window(n1) for _ in range(reps))
+        t2 = min(run_window(n2) for _ in range(reps))
+        dt = (t2 - t1) / (n2 - n1)
+        if 0.0 < dt <= t1 / n1:
+            return dt
+    return None

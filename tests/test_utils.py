@@ -140,3 +140,44 @@ def test_shipped_config_presets_are_consumable():
     f = json.loads((root / "f0_vqvae.json").read_text())
     fc = FoVQVAEConfig.from_dict(f)
     assert fc.emb_width == 128 and fc.encoder.total_stride == 16
+
+
+def test_differenced_time_cancels_constant_cost():
+    """Loop-count differencing recovers per-iteration time under a large
+    constant per-window cost, and refuses (None) when noise makes the delta
+    non-credible instead of clamping it (the clamp once turned congestion
+    noise into a ~1e12 'throughput')."""
+    from speech_inpainting_tpu.utils.timing import differenced_time
+
+    # ideal tunnel: 25 s constant readback + 0.1 s per iteration
+    dt = differenced_time(lambda n: 25.0 + 0.1 * n)
+    assert dt is not None and abs(dt - 0.1) < 1e-9
+
+    # pathological noise: long window happens to beat the short one
+    seen = []
+
+    def noisy(n):
+        seen.append(n)
+        return 30.0 if n <= 2 else 6.0
+
+    assert differenced_time(noisy) is None
+    assert len(seen) == 3 * 2 * 2      # retried `attempts` times
+
+    # delta exceeding the short window's own per-iter bound is rejected too
+    assert differenced_time(lambda n: {2: 0.2, 12: 10.0}[n]) is None
+
+
+def test_persistent_cache_is_machine_keyed(tmp_path):
+    """Cross-host XLA:CPU AOT entries SIGILL when machine features differ;
+    the cache dir must be keyed by a stable fingerprint of this host."""
+    from speech_inpainting_tpu.utils.cache import (enable_persistent_cache,
+                                                   machine_fingerprint)
+    fp = machine_fingerprint()
+    assert fp == machine_fingerprint()          # stable
+    assert len(fp) == 16 and int(fp, 16) >= 0   # hex slug
+    path = enable_persistent_cache(str(tmp_path / "xla"))
+    assert path.endswith(fp)
+    import os
+    assert os.path.isdir(path)
+    # restore the suite-wide cache dir for subsequent tests
+    enable_persistent_cache()
