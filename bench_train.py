@@ -142,7 +142,7 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     return out
 
 
-def bench_ea(dtype, iters: int = 5):
+def bench_ea(dtype, iters: int = 5, roofline: bool = False):
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hubert import (EncoderWithHead,
@@ -191,15 +191,38 @@ def bench_ea(dtype, iters: int = 5):
     pipe, differenced = pipelined_step_time(window, best)
     sps = 1.0 / pipe
     audio_sps = sps * B * T / 16000.0
-    print(json.dumps({
+    key = "bf16" if dtype != jnp.float32 else "f32"
+    out = {
         "metric": "ea_hubert_base_train_step",
-        "value": round(sps, 3), "unit": f"steps/sec pipelined (B16 x 5s, "
-        f"{'bf16' if dtype != jnp.float32 else 'f32'})",
+        "value": round(sps, 3),
+        "unit": f"steps/sec pipelined (B16 x 5s, {key})",
         "steps_per_sec_synced": round(1.0 / best, 3),
         "differenced": differenced,
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
         "compile_seconds": round(compile_s, 1),
-    }))
+    }
+    if roofline:
+        # same whole-step floors the GAN step publishes (VERDICT r2 #3);
+        # reuse the already-jitted step so no second compile is paid
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        floor_c = flops / PEAK_FLOPS[key]
+        floor_m = byts / PEAK_HBM
+        out["roofline"] = {
+            "tflops_per_step": round(flops / 1e12, 3),
+            "gbytes_per_step": round(byts / 1e9, 2),
+            "compute_floor_ms": round(floor_c * 1e3, 2),
+            "memory_floor_ms": round(floor_m * 1e3, 2),
+            "measured_ms": round(pipe * 1e3, 2),
+            "measured_ms_synced": round(best * 1e3, 2),
+            "pct_of_roofline": round(100 * max(floor_c, floor_m) / pipe, 1),
+            "achieved_tflops_per_sec": round(flops / pipe / 1e12, 2),
+        }
+    print(json.dumps(out))
+    return out
 
 
 def main():
@@ -232,7 +255,7 @@ def main():
         bench_gan(dtype, batched_disc=args.batched_disc,
                   roofline=args.roofline, family="istft")
     if args.workload in ("ea", "all"):
-        bench_ea(dtype)
+        bench_ea(dtype, roofline=args.roofline)
 
 
 if __name__ == "__main__":

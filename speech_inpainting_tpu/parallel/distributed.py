@@ -33,6 +33,11 @@ CPU smoke test (2 processes × 4 virtual devices — tests/test_multihost.py)::
 
     XLA_FLAGS=--xla_force_host_platform_device_count=4 \
       python worker.py --process-id {0,1} --num-processes 2
+
+(On few-core hosts also raise XLA:CPU's collective-rendezvous watchdogs —
+`--xla_cpu_collective_call_terminate_timeout_seconds=...` — the default
+40 s LOG(FATAL)s when serialized per-device threads arrive late; see
+tests/conftest.py.)
 """
 from __future__ import annotations
 

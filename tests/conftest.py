@@ -8,8 +8,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's collective rendezvous LOG(FATAL)s ("Exiting to ensure a
+    # consistent program state") when the participating per-device threads
+    # don't all arrive within its default 40 s. On this ONE-core host the
+    # 8 virtual devices of a big mesh-jitted GAN step run serially, so
+    # arrival skew routinely exceeds 40 s and the suite flakily aborts
+    # mid-run (SIGABRT, no Python traceback). Raise the watchdogs far past
+    # any real step time.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

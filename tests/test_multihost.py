@@ -36,7 +36,14 @@ def _launch_workers(tmp_path, n_proc=2, local_devices=4, hybrid=False):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+        # 1-core host: raise XLA:CPU's 40 s collective-rendezvous watchdog
+        # (see conftest.py) — with 2 processes x 4 devices sharing the core,
+        # arrival skew is even larger than in-process
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200")
     repo = str(Path(__file__).parents[1])
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     outs, procs = [], []
