@@ -37,8 +37,8 @@ def pipelined_step_time(run_window, fallback_s, n1: int = 5, n2: int = 35):
 
 
 def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
-              folded_mpd: bool = False, roofline: bool = False,
-              family: str = "v1"):
+              folded_mpd: bool = False, disc_bf16: bool = False,
+              roofline: bool = False, family: str = "v1"):
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hifigan import (
@@ -53,7 +53,8 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     B, SEG = 16, 8192
     gcfg = HiFiGANConfig(dtype=dtype)   # V1: up [8,8,2,2], ch 512, k {3,7,11}
     cfg = HiFiGANTrainConfig(
-        gan=GANConfig(batched_disc=batched_disc, folded_mpd=folded_mpd),
+        gan=GANConfig(batched_disc=batched_disc, folded_mpd=folded_mpd,
+                      disc_bf16=disc_bf16),
         hifigan=gcfg, segment_size=SEG)
     if family == "istft":
         # the in-framework fast family at full width (iSTFTNet C8C8I):
@@ -110,7 +111,8 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
         "value": round(sps, 3),
         "unit": f"steps/sec pipelined (B16 x seg8192, {key}"
                 f"{', batched-disc' if batched_disc else ''}"
-                f"{', folded-mpd' if folded_mpd else ''})",
+                f"{', folded-mpd' if folded_mpd else ''}"
+                f"{', bf16-disc' if disc_bf16 else ''})",
         "steps_per_sec_synced": round(1.0 / best, 3),
         "differenced": differenced,
         "audio_sec_per_sec_per_chip": round(audio_sps, 2),
@@ -239,6 +241,9 @@ def main():
     ap.add_argument("--folded-mpd", action="store_true",
                     help="MPD period fold laid out (B,C,p,T/p) — long axis "
                          "on the TPU lanes (same params/losses)")
+    ap.add_argument("--bf16-disc", action="store_true",
+                    help="discriminator convs compute in bf16 (params f32, "
+                         "f32 loss reductions; GANConfig.disc_bf16)")
     ap.add_argument("--roofline", action="store_true",
                     help="XLA cost analysis -> compute/memory floors for "
                          "the GAN step")
@@ -250,10 +255,12 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.workload in ("gan", "all"):
         bench_gan(dtype, batched_disc=args.batched_disc,
-                  folded_mpd=args.folded_mpd, roofline=args.roofline)
+                  folded_mpd=args.folded_mpd, disc_bf16=args.bf16_disc,
+                  roofline=args.roofline)
     if args.workload == "istft":
         bench_gan(dtype, batched_disc=args.batched_disc,
-                  roofline=args.roofline, family="istft")
+                  disc_bf16=args.bf16_disc, roofline=args.roofline,
+                  family="istft")
     if args.workload in ("ea", "all"):
         bench_ea(dtype, roofline=args.roofline)
 

@@ -19,11 +19,16 @@ import jax.numpy as jnp
 # ----------------------------------------------------------------------------
 
 def feature_loss(fmap_r, fmap_g):
-    """L1 feature-matching over all discriminator feature maps, x2."""
+    """L1 feature-matching over all discriminator feature maps, x2.
+
+    Reductions run in f32 even when the discriminators compute in bf16
+    (GANConfig.disc_bf16) — a no-op for f32 inputs.
+    """
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(jnp.abs(rl.astype(jnp.float32)
+                                     - gl.astype(jnp.float32)))
     return loss * 2.0
 
 
@@ -32,8 +37,8 @@ def discriminator_loss(disc_real_outputs, disc_generated_outputs):
     loss = 0.0
     r_losses, g_losses = [], []
     for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
-        r_loss = jnp.mean(jnp.square(1.0 - dr))
-        g_loss = jnp.mean(jnp.square(dg))
+        r_loss = jnp.mean(jnp.square(1.0 - dr.astype(jnp.float32)))
+        g_loss = jnp.mean(jnp.square(dg.astype(jnp.float32)))
         loss += r_loss + g_loss
         r_losses.append(r_loss)
         g_losses.append(g_loss)
@@ -45,7 +50,7 @@ def generator_loss(disc_outputs):
     loss = 0.0
     gen_losses = []
     for dg in disc_outputs:
-        l = jnp.mean(jnp.square(1.0 - dg))
+        l = jnp.mean(jnp.square(1.0 - dg.astype(jnp.float32)))
         gen_losses.append(l)
         loss += l
     return loss, gen_losses

@@ -49,6 +49,12 @@ class GANConfig:
                                      # — long axis on the TPU lanes; same
                                      # params/losses (models/hifigan.py
                                      # DiscriminatorP.fold_periods)
+    disc_bf16: bool = False          # discriminator convs compute in bf16
+                                     # (params stay f32; losses reduce in
+                                     # f32). The step is memory-bound and
+                                     # the discs own ~half its bytes
+                                     # (BENCH_TRAIN_r03.json attribution),
+                                     # so this halves the dominant traffic.
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -114,8 +120,10 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
     mpd/msd: optional discriminator module overrides (reduced stacks keep
     integration-test compiles tractable; production uses the defaults).
     """
-    mpd = mpd or MultiPeriodDiscriminator(fold_periods=cfg.folded_mpd)
-    msd = msd or MultiScaleDiscriminator()
+    ddt = jnp.bfloat16 if cfg.disc_bf16 else jnp.float32
+    mpd = mpd or MultiPeriodDiscriminator(fold_periods=cfg.folded_mpd,
+                                          dtype=ddt)
+    msd = msd or MultiScaleDiscriminator(dtype=ddt)
     g_opt, d_opt = _make_g_opt(cfg), _make_opt(cfg)
     has_commit = cfg.lambda_commit > 0 or stateful_vq
 

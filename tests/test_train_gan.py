@@ -231,3 +231,43 @@ def test_folded_mpd_layout_equivalence(rng):
     np.testing.assert_allclose(
         float(losses.feature_loss(fr1, fg1)),
         float(losses.feature_loss(fr0, fg0)), rtol=1e-5)
+
+
+def test_disc_bf16_step_tracks_f32(rng):
+    """GANConfig(disc_bf16=True) — bf16 discriminator compute (params f32,
+    f32 loss reductions) — must track the f32 step: losses within bf16
+    tolerance, updated generator params close, and the step still learns."""
+    _, (cfg, gp, mpdp, msdp, spec), (mel_in, y) = build_pair(rng)
+    gen = Generator(cfg)
+
+    def gen_fwd(g_params, batch):
+        return gen.apply({"params": g_params}, batch["mel"])
+
+    batch = {"mel": jnp.asarray(mel_in), "audio": jnp.asarray(y),
+             "mel_loss": mel_spectrogram(jnp.asarray(y[:, 0]), MEL)}
+    results = []
+    for bf16 in (False, True):
+        gan_cfg = GANConfig(disc_bf16=bf16, steps_per_epoch=10)
+        step = jax.jit(make_gan_step(
+            gen_fwd, lambda w: mel_spectrogram(w, MEL), gan_cfg))
+        state = create_gan_state(gan_cfg, gp, mpdp, msdp, spec)
+        state, m = step(state, batch)
+        results.append((step, state, m))
+    (_, s0, m0), (stepb, s1, m1) = results
+    # params stay f32 (mixed precision: bf16 compute only)
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree_util.tree_leaves(s1.d_params))
+    for k in ("loss_disc", "loss_gen_all", "mel_error"):
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=2e-2,
+                                   err_msg=k)
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.g_params),
+            jax.tree_util.tree_leaves_with_path(s0.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   err_msg=str(ka))
+    # and it must still learn on repeated steps
+    state, mfirst = s1, m1
+    for _ in range(15):
+        state, m = stepb(state, batch)
+    assert np.isfinite(float(m["loss_gen_all"]))
+    assert float(m["mel_error"]) < float(mfirst["mel_error"])
