@@ -91,10 +91,18 @@ class InformedInpainter:
     """
 
     def __init__(self, cfg: InpainterConfig, hubert_params, generator_params,
-                 centroids, *, generator=None):
+                 centroids, *, generator=None, mesh=None):
         """`generator` overrides the vocoder module (same (B, in_dim, F) →
         (B, 1, T) contract — e.g. models.hifigan_istft.ISTFTGenerator, the
-        fast-vocoder family trained on the identical recipe)."""
+        fast-vocoder family trained on the identical recipe).
+
+        `mesh`: optional jax.sharding.Mesh for data-parallel batch serving —
+        the SPMD replacement for the reference's Pool(8) inference workers
+        (I_da/scripts/inference.py:311-327): params/codebook are replicated
+        once at construction, every `batch()` shards its inputs over the
+        mesh's 'dp' axis, and the one jitted graph runs on all chips (batch
+        size must divide by the mesh size). Single-device behavior is
+        unchanged when mesh is None."""
         self.cfg = cfg
         self._hubert = EncoderWithHead(cfg.hubert, out_dim=centroids.shape[-1])
         self._hubert_params = hubert_params
@@ -119,9 +127,29 @@ class InformedInpainter:
         C = jnp.asarray(centroids, jnp.float32)
         self._center = C.mean(axis=0)
         self._C_centered = C - self._center[None, :]
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            (self._hubert_params, self._gen_params, self._C_centered,
+             self._center) = replicate(mesh, (
+                 self._hubert_params, self._gen_params, self._C_centered,
+                 self._center))
         self._graph = jax.jit(self._graph_impl)
         self._expected_graph = jax.jit(self._expected_impl)
         self._hifi_masked_graph = jax.jit(self._hifi_masked_impl)
+
+    def _shard(self, *batch_arrays):
+        """Place batch inputs sharded over the mesh's 'dp' axis (no-op
+        without a mesh); XLA propagates the sharding through the graph.
+        Batches that don't divide the mesh (e.g. the single-utterance
+        `__call__` path, B=1) fall back to replicated placement — correct,
+        just not distributed."""
+        if self._mesh is None:
+            return batch_arrays
+        from ..parallel.mesh import replicate, shard_batch
+        if batch_arrays[0].shape[0] % self._mesh.size != 0:
+            return replicate(self._mesh, batch_arrays)
+        return shard_batch(self._mesh, batch_arrays)
 
     # --- pure graphs (params are arguments, not constants) ---------------
 
@@ -178,23 +206,24 @@ class InformedInpainter:
         return jax.tree_util.tree_map(lambda x: x[0], out)
 
     def batch(self, wav22, wav16, mask_pos, mask_len):
-        """Batched: wav22 (B,T22), wav16 (B,T16), mask_pos/len (B,)."""
+        """Batched: wav22 (B,T22), wav16 (B,T16), mask_pos/len (B,).
+        With a mesh, the batch is sharded over 'dp' (B % mesh size == 0)."""
         return self._graph(self._hubert_params, self._gen_params,
                            self._C_centered, self._center,
-                           jnp.asarray(wav22, jnp.float32),
-                           jnp.asarray(wav16, jnp.float32),
-                           jnp.asarray(mask_pos, jnp.int32),
-                           jnp.asarray(mask_len, jnp.int32))
+                           *self._shard(jnp.asarray(wav22, jnp.float32),
+                                        jnp.asarray(wav16, jnp.float32),
+                                        jnp.asarray(mask_pos, jnp.int32),
+                                        jnp.asarray(mask_len, jnp.int32)))
 
     def batch_expected(self, wav22, target_labels, mask_pos, mask_len):
         """Batched oracle: target_labels (B, F) are the TRUE centroid ids on
         the full mel frame grid (only the masked span is spliced in)."""
         return self._expected_graph(
             self._gen_params, self._C_centered, self._center,
-            jnp.asarray(wav22, jnp.float32),
-            jnp.asarray(target_labels, jnp.int32),
-            jnp.asarray(mask_pos, jnp.int32),
-            jnp.asarray(mask_len, jnp.int32))
+            *self._shard(jnp.asarray(wav22, jnp.float32),
+                         jnp.asarray(target_labels, jnp.int32),
+                         jnp.asarray(mask_pos, jnp.int32),
+                         jnp.asarray(mask_len, jnp.int32)))
 
     def expected_inpaint(self, wav22, target_labels, mask_pos, mask_len):
         out = self._expected_graph(
