@@ -73,11 +73,14 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError:
+    except (RuntimeError, ValueError):
         if bare:
-            # autodetect attempted after the backend already initialized
-            # (e.g. single-host runs inside a TPU-env sandbox): joining is
-            # impossible and unnecessary — degrade to single-process
+            # bare autodetect is best-effort: a single-host TPU env can
+            # trip _cluster_env (e.g. TPU_WORKER_HOSTNAMES=localhost) yet
+            # give jax's cluster detection no coordinator (ValueError), or
+            # the backend may already be initialized (RuntimeError) —
+            # joining is impossible and unnecessary, degrade to
+            # single-process. Explicit args still raise.
             return False
         raise
     return jax.process_count() > 1

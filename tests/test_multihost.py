@@ -137,3 +137,30 @@ def test_initialize_single_process_noop():
     from speech_inpainting_tpu.parallel.distributed import initialize
     assert initialize(num_processes=1) is False
     assert initialize() is False
+
+
+def test_initialize_bare_degrades_in_lying_single_host_env(tmp_path):
+    """A single-host TPU env that sets cluster-looking vars (the sandbox's
+    sitecustomize exports TPU_WORKER_HOSTNAMES=localhost) trips
+    _cluster_env, and jax's cluster detection then finds no coordinator
+    and raises ValueError — bare initialize() must swallow that and
+    degrade to single-process instead of crashing every training CLI.
+    Run in a subprocess: jax.distributed.initialize mutates process-global
+    state."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["TPU_WORKER_HOSTNAMES"] = "localhost"
+    repo = str(Path(__file__).parents[1])
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from speech_inpainting_tpu.parallel.distributed import initialize\n"
+        "assert initialize() is False\n"
+        "assert jax.process_count() == 1\n"
+        "import jax.numpy as jnp\n"
+        "assert float(jnp.ones(4).sum()) == 4.0\n"
+        "print('degraded ok')\n")
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       cwd=repo, capture_output=True, timeout=300)
+    assert p.returncode == 0, p.stdout.decode() + p.stderr.decode()
+    assert b"degraded ok" in p.stdout
