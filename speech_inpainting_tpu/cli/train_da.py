@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--training-steps", type=int, default=None)
     p.add_argument("--cache-dir", default=None)
+    p.add_argument("--bf16-disc", action="store_true",
+                   help="discriminators compute in bf16 (params/losses f32;"
+                        " +20%% steps/s, BENCH_TRAIN_r03.json)")
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
@@ -63,8 +66,8 @@ def main(argv=None):
                       lr_decay=h.get("lr_decay", 0.999),
                       lambda_commit=h.get("lambda_commit_code", 0) or 0,
                       frozen_g_paths=("fo_vqvae",),
-                      # bit-identical, ~10% faster (BENCH_TRAIN_r03.json)
-                      batched_disc=True),
+                      # bit-identical (BENCH_TRAIN_r03.json)
+                      batched_disc=True, disc_bf16=args.bf16_disc),
         mel_loss=mel_loss, segment_size=h.get("segment_size", 8960),
         code_hop_size=h.get("code_hop_size", 320))
 

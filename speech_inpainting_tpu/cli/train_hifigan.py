@@ -86,6 +86,9 @@ def main(argv=None):
     p.add_argument("--mask-len", type=int, default=20)
     p.add_argument("--warm-start", default=None,
                    help="torch g_* checkpoint (e.g. UNIVERSAL_V1) to import")
+    p.add_argument("--bf16-disc", action="store_true",
+                   help="discriminators compute in bf16 (params/losses f32;"
+                        " +20%% steps/s, BENCH_TRAIN_r03.json)")
     p.add_argument("--mesh", action="store_true",
                    help="shard batches over all devices (SPMD data parallel)")
     p.add_argument("--seed", type=int, default=1234)
@@ -107,9 +110,9 @@ def main(argv=None):
                       adam_b1=h.get("adam_b1", 0.8),
                       adam_b2=h.get("adam_b2", 0.99),
                       lr_decay=h.get("lr_decay", 0.999),
-                      # bit-identical to the two-call layout, ~10% faster
+                      # bit-identical to the two-call layout
                       # (BENCH_TRAIN_r03.json)
-                      batched_disc=True),
+                      batched_disc=True, disc_bf16=args.bf16_disc),
         hifigan=gcfg, segment_size=seg, mask_len=args.mask_len)
 
     if args.filelist:
