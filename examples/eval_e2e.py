@@ -223,7 +223,9 @@ def stage_hifigan(out, wavs22, steps):
 
 def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     """Encoder adaptation from scratch: predict centroid ids of the masked
-    20-frame span (main.py loss/optimizer semantics, cos_sim loss).
+    20-frame span (main.py loss/optimizer semantics, cos_sim loss); trains
+    on pitch/speed-augmented copies of the training utterances (the same
+    diversification the vocoder stage uses).
 
     With ``holdout`` set, that utterance is EXCLUDED from encoder training —
     the tiny-scale analogue of the reference's train/valid split
@@ -250,19 +252,26 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     state = create_state(cfg, params)
     step = jax.jit(make_train_step(model, cfg, centroids))
 
-    # frame-aligned labels for each utterance (hop 441 @22k == 320 @16k)
-    labels = {name: np.asarray(assign(
-        jnp.asarray(np.asarray(mel_spectrogram(
-            jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
-        jnp.asarray(centroids))) for name, w in wavs22.items()}
-
-    B, F = 8, 150                    # 3 s crops, 150 frames
-    T = F * 320
-    rng = np.random.default_rng(1)
     names = [n for n in wavs16 if n != holdout]
     assert names, f"holdout {holdout!r} leaves no training utterances"
     if holdout is not None:
         print(f"ea: training on {names}, holding out {holdout}")
+    # pitch/speed-augmented copies of the TRAINING utterances; resampling
+    # the 22k and 16k versions by the same ratio keeps them frame-aligned
+    # (hop 441 @22k == 320 @16k throughout)
+    train22 = augment_wavs({n: wavs22[n] for n in names})
+    train16 = augment_wavs({n: wavs16[n] for n in names})
+
+    # frame-aligned labels for each training copy
+    labels = {name: np.asarray(assign(
+        jnp.asarray(np.asarray(mel_spectrogram(
+            jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
+        jnp.asarray(centroids))) for name, w in train22.items()}
+
+    B, F = 8, 150                    # 3 s crops, 150 frames
+    T = F * 320
+    rng = np.random.default_rng(1)
+    names = list(train16)
 
     def batch():
         wav = np.zeros((B, T), np.float32)
@@ -270,7 +279,7 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
         pos = np.zeros((B,), np.int32)
         for b in range(B):
             name = names[rng.integers(len(names))]
-            w16, l = wavs16[name], labels[name]
+            w16, l = train16[name], labels[name]
             max_f = min(len(w16) // 320, len(l)) - F
             f0_ = rng.integers(0, max_f)
             wav[b] = w16[f0_ * 320:(f0_ + F) * 320]
@@ -360,7 +369,9 @@ def stage_eval_ea(out, wavs22, wavs16, holdout=None):
 def stage_feats(out, wavs16):
     """Frozen-encoder features -> content units (the I_da k-means over
     HuBERT layer features, cluster_kmeans.py semantics). Pass pre-filtered
-    wavs16 (minus any held-out utterance) for the generalization leg."""
+    wavs16 (minus any held-out utterance) for the generalization leg; fits
+    over pitch/speed-augmented copies so the codebook covers more of the
+    encoder's feature space than the raw training utterances span."""
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hubert import HubertModel
     from speech_inpainting_tpu.quantize.kmeans import fit_kmeans
@@ -369,7 +380,7 @@ def stage_feats(out, wavs16):
     tap = 2
     feats = {name: np.asarray(model.apply(
         {"params": hp["hubert"]}, jnp.asarray(w)[None], tap_layer=tap)[0])
-        for name, w in wavs16.items()}
+        for name, w in augment_wavs(wavs16).items()}
     allf = np.concatenate(list(feats.values()))
     centroids, inertia = fit_kmeans(allf, 100, iters=30, n_init=3)
     print(f"feats: {allf.shape} -> 100 unit centroids, "
@@ -378,7 +389,9 @@ def stage_feats(out, wavs16):
 
 
 def stage_f0vq(out, wavs16, steps):
-    """f0-VQVAE training (train_f0_vq.py semantics) on device-tracked f0."""
+    """f0-VQVAE training (train_f0_vq.py semantics) on device-tracked f0 of
+    pitch/speed-augmented copies (diversifies the pitch range the one-or-two
+    training utterances cover)."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.ops.f0 import extract_f0, normalize_nonzero
@@ -390,7 +403,7 @@ def stage_f0vq(out, wavs16, steps):
 
     cfg = fo_vqvae_cfg()
     f0s = []
-    for w in wavs16.values():
+    for w in augment_wavs(wavs16).values():
         f0 = np.asarray(extract_f0(jnp.asarray(w)))
         f0 = np.asarray(normalize_nonzero(jnp.asarray(f0),
                                           float(f0.mean()),
@@ -428,7 +441,13 @@ def stage_f0vq(out, wavs16, steps):
 
 def stage_da(out, wavs16, steps):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
-    trained content units + frozen f0-VQVAE pitch units -> waveform."""
+    trained content units + frozen f0-VQVAE pitch units -> waveform.
+
+    Trains on pitch/speed-augmented copies (units/f0 re-extracted per copy)
+    — the lever that lifts the held-out table above the one-utterance
+    decoder's generalization floor (STATUS r3 known-gaps): I_da
+    resynthesizes the ENTIRE waveform from units, so decoder overfit to a
+    single utterance degrades every held-out score."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.codegen import CodeGenerator
@@ -451,7 +470,7 @@ def stage_da(out, wavs16, steps):
 
     # per-utterance aligned streams: units (hop 320), f0 (hop 80), audio
     streams = {}
-    for name, w in wavs16.items():
+    for name, w in augment_wavs(wavs16).items():
         units = np.asarray(assign(
             np.asarray(hub.apply({"params": hp["hubert"]},
                                  jnp.asarray(w)[None],
@@ -673,9 +692,11 @@ def stage_report(out, args, dest=None):
         "training": {
             "hifigan_steps": args.hifigan_steps, "ea_steps": args.ea_steps,
             "f0vq_steps": args.f0vq_steps, "da_steps": args.da_steps,
-            "models": "iSTFT-head HiFi-GAN ch192 @22k (pitch/speed-augmented "
-                      "training), unit HiFi-GAN ch192 @16k, HuBERT h256 L4, "
-                      "f0-VQVAE w128",
+            "models": "iSTFT-head HiFi-GAN ch192 @22k, unit HiFi-GAN ch192 "
+                      "@16k, HuBERT h256 L4, f0-VQVAE w128; every trained "
+                      "stage (vocoder, encoder, unit k-means, f0-VQVAE, "
+                      "decoder) uses pitch/speed-augmented copies of its "
+                      "training utterances",
         },
         "I_ea": {"protocol": ea["protocol"], "mean": ea["mean"]},
         "I_da": {"protocol": da["protocol"], "mean": da["mean"]},
