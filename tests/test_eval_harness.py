@@ -25,6 +25,33 @@ def ev():
     return mod
 
 
+def test_augment_wavs_alignment(ev):
+    """Pitch/speed copies must keep the 22k/16k pair frame-aligned: the
+    eval stages re-extract units/f0 per copy and rely on hop 441@22k ==
+    hop 320@16k == 20 ms staying true for the augmented copies (both legs
+    are resampled by the SAME rational ratio)."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    dur = 1.7
+    wavs22 = {"u": rng.standard_normal(int(22050 * dur)).astype(np.float32)}
+    wavs16 = {"u": rng.standard_normal(int(16000 * dur)).astype(np.float32)}
+    aug22 = ev.augment_wavs(wavs22)
+    aug16 = ev.augment_wavs(wavs16)
+    assert set(aug22) == set(aug16)
+    assert "u" in aug22 and len(aug22) == 5  # original + 4 rates
+    assert np.array_equal(aug22["u"], wavs22["u"])  # originals untouched
+    for name in aug22:
+        w22, w16 = aug22[name], aug16[name]
+        assert w22.dtype == np.float32 and w16.dtype == np.float32
+        # durations stay equal across the pair -> frame grids stay aligned
+        assert abs(len(w22) / 22050 - len(w16) / 16000) < 2 / 16000
+        if "@" in name:
+            r = float(name.split("@")[1])
+            assert abs(len(w22) - len(wavs22["u"]) / r) <= 2
+            assert not np.array_equal(w22[: len(wavs22["u"])],
+                                      wavs22["u"][: len(w22)])
+
+
 def test_drop_filters_holdout(ev):
     wavs = {"a": 1, "b": 2}
     assert ev._drop(wavs, None) is wavs
