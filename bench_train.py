@@ -25,6 +25,34 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 PEAK_HBM = 819e9
 
 
+def roofline_floors(jitted, state, batch, flops_key, pipe, best):
+    """Whole-step XLA cost analysis -> compute/memory floors (the same
+    accounting CLAUDE.md records for the serving graph; VERDICT r2 #3).
+    Reuses the already-jitted step so no second compile is paid.
+    `flops_key` picks the MXU peak for the compute floor — it must be
+    "bf16" whenever ANY matmul/conv in the step runs bf16 (e.g. f32
+    params + disc_bf16): floors are LOWER bounds, and dividing
+    bf16-executed flops by the f32 peak would overstate the floor and
+    inflate pct_of_roofline."""
+    cost = jitted.lower(state, batch).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    byts = float(cost.get("bytes accessed", 0.0))
+    floor_c = flops / PEAK_FLOPS[flops_key]
+    floor_m = byts / PEAK_HBM
+    return {
+        "tflops_per_step": round(flops / 1e12, 3),
+        "gbytes_per_step": round(byts / 1e9, 2),
+        "compute_floor_ms": round(floor_c * 1e3, 2),
+        "memory_floor_ms": round(floor_m * 1e3, 2),
+        "measured_ms": round(pipe * 1e3, 2),
+        "measured_ms_synced": round(best * 1e3, 2),
+        "pct_of_roofline": round(100 * max(floor_c, floor_m) / pipe, 1),
+        "achieved_tflops_per_sec": round(flops / pipe / 1e12, 2),
+    }
+
+
 def pipelined_step_time(run_window, fallback_s, n1: int = 5, n2: int = 35):
     """Per-step time by loop-count differencing (utils.timing
     differenced_time: the tunnel's constant dispatch+readback cost cancels,
@@ -119,27 +147,9 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
         "compile_seconds": round(compile_s, 1),
     }
     if roofline:
-        # whole-step XLA cost analysis -> compute/memory floors (the same
-        # accounting CLAUDE.md records for the serving graph); reuse the
-        # already-jitted step so no second compile is paid
-        cost = jstep.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0))
-        byts = float(cost.get("bytes accessed", 0.0))
-        floor_c = flops / PEAK_FLOPS[key]
-        floor_m = byts / PEAK_HBM
-        out["roofline"] = {
-            "tflops_per_step": round(flops / 1e12, 3),
-            "gbytes_per_step": round(byts / 1e9, 2),
-            "compute_floor_ms": round(floor_c * 1e3, 2),
-            "memory_floor_ms": round(floor_m * 1e3, 2),
-            "measured_ms": round(pipe * 1e3, 2),
-            "measured_ms_synced": round(best * 1e3, 2),
-            "pct_of_roofline": round(
-                100 * max(floor_c, floor_m) / pipe, 1),
-            "achieved_tflops_per_sec": round(flops / pipe / 1e12, 2),
-        }
+        flops_key = "bf16" if (key == "bf16" or disc_bf16) else "f32"
+        out["roofline"] = roofline_floors(jstep, state, batch, flops_key,
+                                          pipe, best)
     print(json.dumps(out))
     return out
 
@@ -204,25 +214,7 @@ def bench_ea(dtype, iters: int = 5, roofline: bool = False):
         "compile_seconds": round(compile_s, 1),
     }
     if roofline:
-        # same whole-step floors the GAN step publishes (VERDICT r2 #3);
-        # reuse the already-jitted step so no second compile is paid
-        cost = step.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", 0.0))
-        byts = float(cost.get("bytes accessed", 0.0))
-        floor_c = flops / PEAK_FLOPS[key]
-        floor_m = byts / PEAK_HBM
-        out["roofline"] = {
-            "tflops_per_step": round(flops / 1e12, 3),
-            "gbytes_per_step": round(byts / 1e9, 2),
-            "compute_floor_ms": round(floor_c * 1e3, 2),
-            "memory_floor_ms": round(floor_m * 1e3, 2),
-            "measured_ms": round(pipe * 1e3, 2),
-            "measured_ms_synced": round(best * 1e3, 2),
-            "pct_of_roofline": round(100 * max(floor_c, floor_m) / pipe, 1),
-            "achieved_tflops_per_sec": round(flops / pipe / 1e12, 2),
-        }
+        out["roofline"] = roofline_floors(step, state, batch, key, pipe, best)
     print(json.dumps(out))
     return out
 

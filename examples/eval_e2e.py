@@ -271,7 +271,14 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     B, F = 8, 150                    # 3 s crops, 150 frames
     T = F * 320
     rng = np.random.default_rng(1)
-    names = list(train16)
+    # drop copies too short for the crop (a fast augmentation rate shrinks
+    # the wav; rng.integers(0, max_f<=0) would raise mid-training otherwise)
+    names = [n for n in train16
+             if min(len(train16[n]) // 320, len(labels[n])) > F]
+    assert names, f"every training copy is shorter than the {F}-frame crop"
+    if len(names) < len(train16):
+        print(f"ea: dropped {len(train16) - len(names)} augmented copies "
+              f"shorter than the {F}-frame crop")
 
     def batch():
         wav = np.zeros((B, T), np.float32)
@@ -411,6 +418,11 @@ def stage_f0vq(out, wavs16, steps):
         f0s.append(f0)
     model = FoVQVAE(cfg)
     F = 512                                  # 16-frame multiple
+    n0 = len(f0s)
+    f0s = [f for f in f0s if len(f) > F]     # crop-length guard (see stage_ea)
+    assert f0s, f"every augmented f0 track is shorter than the {F}-frame crop"
+    if len(f0s) < n0:
+        print(f"f0vq: dropped {n0 - len(f0s)} tracks shorter than the crop")
     v = model.init({"params": jax.random.PRNGKey(0),
                     "vq": jax.random.PRNGKey(1)},
                    jnp.zeros((1, 1, F)), train=True)
@@ -501,7 +513,11 @@ def stage_da(out, wavs16, steps):
     step = jax.jit(make_da_step(da_cfg, vq_tree))
 
     rng = np.random.default_rng(3)
-    names = list(streams)
+    names = [n for n in streams if len(streams[n][0]) > F]  # crop guard
+    assert names, f"every unit stream is shorter than the {F}-frame crop"
+    if len(names) < len(streams):
+        print(f"da: dropped {len(streams) - len(names)} streams shorter "
+              f"than the crop")
 
     def batch():
         code = np.zeros((B, F), np.int32)

@@ -141,13 +141,15 @@ class InformedInpainter:
     def _shard(self, *batch_arrays):
         """Place batch inputs sharded over the mesh's 'dp' axis (no-op
         without a mesh); XLA propagates the sharding through the graph.
-        Batches that don't divide the mesh (e.g. the single-utterance
-        `__call__` path, B=1) fall back to replicated placement — correct,
-        just not distributed."""
+        Batches that don't divide the 'dp' axis — only that axis, so a
+        composed ('dcn','dp') mesh still shards B=dp-multiple batches —
+        fall back to replicated placement (e.g. the single-utterance
+        `__call__` path, B=1): correct, just not distributed."""
         if self._mesh is None:
             return batch_arrays
         from ..parallel.mesh import replicate, shard_batch
-        if batch_arrays[0].shape[0] % self._mesh.size != 0:
+        dp = dict(self._mesh.shape).get("dp")
+        if dp is None or batch_arrays[0].shape[0] % dp != 0:
             return replicate(self._mesh, batch_arrays)
         return shard_batch(self._mesh, batch_arrays)
 

@@ -41,6 +41,8 @@ tests/conftest.py.)
 """
 from __future__ import annotations
 
+import sys
+
 from typing import Optional, Sequence
 
 import jax
@@ -73,14 +75,21 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         if bare:
             # bare autodetect is best-effort: a single-host TPU env can
             # trip _cluster_env (e.g. TPU_WORKER_HOSTNAMES=localhost) yet
             # give jax's cluster detection no coordinator (ValueError), or
             # the backend may already be initialized (RuntimeError) —
             # joining is impossible and unnecessary, degrade to
-            # single-process. Explicit args still raise.
+            # single-process. Explicit args still raise. The degrade is
+            # loud: on a REAL pod with a broken cluster env, N silent
+            # single-process jobs would train divergently.
+            print("[distributed] cluster-like env detected but bare "
+                  f"autodetect failed ({type(e).__name__}: {e}); running "
+                  "single-process. If this host IS part of a pod, pass "
+                  "explicit coordinator_address/num_processes/process_id.",
+                  file=sys.stderr, flush=True)
             return False
         raise
     return jax.process_count() > 1
