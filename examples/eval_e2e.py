@@ -89,7 +89,14 @@ def small_istft_22k():
 def augment_wavs(wavs, rates=(0.9, 0.95, 1.05, 1.1)):
     """Pitch/speed-shifted copies (resampling shifts both jointly — the
     cheap augmentation VERDICT r2 #2 names) to diversify vocoder training
-    beyond the two committed utterances."""
+    beyond the two committed utterances.
+
+    Each rate yields a distinct wav length, so per-utterance jitted passes
+    (label/feature/f0 extraction) compile once per (utterance, rate) — ~10
+    small compiles, amortized by the persistent cache across the holdout
+    rerun. Deliberately NOT padded to shared buckets: changing the
+    augmented lengths between the non-holdout and holdout runs would
+    silently change the training recipe between the two tables."""
     from fractions import Fraction
     from scipy.signal import resample_poly
     out = dict(wavs)
