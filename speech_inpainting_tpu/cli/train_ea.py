@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--freeze-encoder", action="store_true")
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--mesh", action="store_true")
+    p.add_argument("--buckets", type=int, default=0, metavar="K",
+                   help="length-bucketed batching: pad each utterance to "
+                        "the smallest of K quantile length buckets instead "
+                        "of max length (K jit specializations, near-tight "
+                        "padding; numerics unchanged — see data/ea_dataset)")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -115,10 +120,15 @@ def main(argv=None):
         mesh = make_mesh()
     run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
                     log_dir=args.log_dir, mesh=mesh)
+    buckets = None
+    if args.buckets:
+        from ..data.ea_dataset import plan_buckets
+        buckets = plan_buckets(np.asarray(train_ds.lengths), args.buckets,
+                               max_length=max_length)
     run_ea_training(
         step, ev, state,
         lambda epoch: train_ds.batches(args.batch_size, epoch=epoch,
-                                       seed=args.seed),
+                                       seed=args.seed, buckets=buckets),
         (lambda epoch: valid_ds.batches(2, epoch=0, shuffle=False))
         if valid_ds else (lambda epoch: iter(())),
         run)

@@ -31,6 +31,28 @@ def _meanvar(x: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     return (x - x.mean()) / np.sqrt(x.var() + eps)
 
 
+def plan_buckets(lengths: Sequence[int], n_buckets: int,
+                 *, max_length: Optional[int] = None) -> list:
+    """Quantile length buckets for `EADataset.batches(buckets=...)`.
+
+    The reference pads EVERY utterance to max_wav_length
+    (I_ea/dataset/dataset.py:49-63 pads to the processor max) — on a corpus
+    whose lengths vary (LJSpeech: ~1-10 s) that wastes most of the padded
+    compute. Buckets trade K jit specializations (shape-keyed, compiled
+    once each) for near-tight padding: each utterance pads only to its
+    bucket's length. Returns ascending bucket lengths; the last covers the
+    longest utterance (clamped to `max_length` if given, matching the
+    dataset's truncation).
+    """
+    assert n_buckets >= 1
+    ls = np.asarray(lengths, np.int64)
+    if max_length is not None:
+        ls = np.minimum(ls, max_length)
+    qs = np.quantile(ls, np.linspace(0, 1, n_buckets + 1)[1:],
+                     method="higher").astype(np.int64)
+    return sorted(set(int(q) for q in qs))
+
+
 class EADataset:
     """Fixed-shape item source for the I_ea loop.
 
@@ -100,27 +122,60 @@ class EADataset:
         return len(self.paths)
 
     def batches(self, batch_size: int, *, epoch: int = 0, seed: int = 1234,
-                shuffle: bool = True, drop_last: bool = True
-                ) -> Iterator[dict]:
-        """Fixed-shape batches {wav, attn_mask, mask_pos, labels}."""
+                shuffle: bool = True, drop_last: bool = True,
+                buckets: Optional[Sequence[int]] = None) -> Iterator[dict]:
+        """Fixed-shape batches {wav, attn_mask, mask_pos, labels}.
+
+        With `buckets` (ascending padded lengths, e.g. from `plan_buckets`),
+        each utterance pads only to the smallest bucket covering it and
+        batches are grouped per bucket — K jit specializations instead of
+        one, near-tight padding instead of max-length padding. This is the
+        TPU analogue of HF/torch per-batch dynamic padding, and shares its
+        caveat: HuBERT's conv-frontend GroupNorm normalizes each channel
+        over time INCLUDING pad frames, and the conv positional embedding
+        convolves across them (both HF-parity semantics,
+        models/hubert.py), so outputs are weakly pad-length-dependent —
+        loss shifts ~1e-2 relative at tiny scale
+        (test_train_ea.py::test_ea_bucketed_step_close_to_full_padding).
+        Use a single bucket (the default) for bit-reproducibility against
+        the reference's fixed max-length padding. Bucket batch order is
+        shuffled so training interleaves lengths."""
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         order = rng.permutation(len(self)) if shuffle \
             else np.arange(len(self))
+        if buckets is None:
+            groups = [(self.max_length, order)]
+        else:
+            bl = sorted(set(int(b) for b in buckets))
+            assert bl[0] > 80 + 320 * self.mask_length, \
+                f"bucket {bl[0]} leaves no room for a {self.mask_length}" \
+                "-frame mask"
+            longest = int(np.max(np.asarray(self.lengths)))
+            if bl[-1] < longest:
+                bl.append(min(self.max_length, longest))
+            lens = np.asarray(self.lengths)[order]
+            which = np.searchsorted(bl, lens, side="left")
+            groups = [(blen, order[which == k]) for k, blen in enumerate(bl)]
+        plan = []
+        for pad_len, idxs in groups:
+            n_full = len(idxs) // batch_size
+            end = n_full * batch_size if drop_last else len(idxs)
+            plan.extend((pad_len, idxs[s:s + batch_size])
+                        for s in range(0, end, batch_size)
+                        if not (drop_last and s + batch_size > len(idxs)))
+        if buckets is not None and shuffle:
+            plan = [plan[j] for j in rng.permutation(len(plan))]
         L = self.mask_length
-        n_full = len(order) // batch_size
-        end = n_full * batch_size if drop_last else len(order)
-        for s in range(0, end, batch_size):
-            idx = order[s:s + batch_size]
-            if len(idx) < batch_size and drop_last:
-                break
-            wav = np.asarray(self.waves[idx])
+        for pad_len, idx in plan:
+            wav = np.asarray(self.waves[idx, :pad_len])
             lengths = np.asarray(self.lengths[idx])
-            attn = (np.arange(self.max_length)[None, :]
+            attn = (np.arange(pad_len)[None, :]
                     < lengths[:, None]).astype(np.int32)
-            max_pos = (np.minimum(lengths, self.max_length) - 80) // 320 - L
+            max_pos = (np.minimum(lengths, pad_len) - 80) // 320 - L
             mask_pos = rng.integers(0, np.maximum(max_pos, 1)).astype(np.int32)
+            n_frames = (pad_len - 80) // 320
             labels = np.stack([
-                np.pad(self.labels[i], (0, max(0, self.max_frames
+                np.pad(self.labels[i], (0, max(0, n_frames
                                                - len(self.labels[i]))))
                 [mask_pos[k]:mask_pos[k] + L]
                 for k, i in enumerate(idx)])

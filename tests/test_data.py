@@ -7,7 +7,7 @@ import pytest
 
 from speech_inpainting_tpu.data import audio as A
 from speech_inpainting_tpu.data import manifests as M
-from speech_inpainting_tpu.data.ea_dataset import EADataset
+from speech_inpainting_tpu.data.ea_dataset import EADataset, plan_buckets
 from speech_inpainting_tpu.data.multiseries import (clip_segment,
                                                     clip_segment_random,
                                                     match_length)
@@ -155,6 +155,58 @@ def test_ea_dataset_batches(tmp_path, rng):
                     cache_dir=str(tmp_path / "cache"))
     np.testing.assert_array_equal(np.asarray(ds2.waves),
                                   np.asarray(ds.waves))
+
+
+def test_plan_buckets():
+    lengths = [1000, 2000, 3000, 4000, 5000, 6000]
+    bl = plan_buckets(lengths, 3)
+    assert bl == sorted(bl) and bl[-1] == 6000
+    assert all(any(b >= l for b in bl) for l in lengths)
+    # clamp to the dataset's truncation length
+    assert plan_buckets(lengths, 2, max_length=4500)[-1] == 4500
+    # degenerate: one bucket == max length
+    assert plan_buckets(lengths, 1) == [6000]
+
+
+def test_ea_dataset_bucketed_batches(tmp_path, rng):
+    n, max_len = 6, 6400
+    paths, true_lens = [], []
+    for i in range(n):
+        t = 4800 + 320 * i
+        p = tmp_path / f"u{i}.wav"
+        A.save_wav(p, rng.standard_normal(t).astype(np.float32) * 0.2, 16000)
+        paths.append(p)
+        true_lens.append(t)
+    labels = [rng.integers(0, 10, (max_len - 80) // 320) for _ in range(n)]
+    ds = EADataset(paths, labels, max_length=max_len, mask_length=3)
+    buckets = plan_buckets(ds.lengths, 2)
+    batches = list(ds.batches(2, epoch=0, buckets=buckets, drop_last=False))
+    # every utterance exactly once; tight padding per bucket
+    seen = 0
+    widths = set()
+    for b in batches:
+        w = b["wav"].shape[1]
+        widths.add(w)
+        assert w in buckets
+        lens = b["attn_mask"].sum(1)
+        assert (lens <= w).all()
+        assert b["labels"].shape[1] == 3
+        seen += b["wav"].shape[0]
+    assert seen == n
+    assert min(widths) < max_len  # small bucket actually pads tighter
+    # items land in the smallest covering bucket
+    for b in batches:
+        w = b["wav"].shape[1]
+        for l in b["attn_mask"].sum(1):
+            assert l <= w
+            smaller = [x for x in buckets if x < w]
+            if smaller:
+                assert l > smaller[-1]
+    # deterministic per (seed, epoch)
+    again = list(ds.batches(2, epoch=0, buckets=buckets, drop_last=False))
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(a["wav"], b["wav"])
+        np.testing.assert_array_equal(a["mask_pos"], b["mask_pos"])
 
 
 def test_device_prefetch(rng):
