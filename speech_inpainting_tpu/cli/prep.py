@@ -34,33 +34,72 @@ def cmd_manifest(args):
     print(f"manifest -> {args.dest}")
 
 
-def cmd_quantize(args):
-    """HuBERT features → k-means units file (quantize_with_kmeans.py)."""
+def _hubert_feature_iter(manifest, hubert, layer, sample_pct=1.0, seed=1234):
+    """Yield (relpath, features) over a tsv manifest — the shared core of
+    `quantize` and `features` (reference `get_feature_iterator`,
+    `I_da/src/utils.py:41-81`, incl. its `sample_pct` random subsampling
+    used to bound k-means-fit memory)."""
+    import jax
     import jax.numpy as jnp
     from ..convert.hubert_torch import load_hf_pretrained
     from ..data.audio import load_wav
-    from ..data.manifests import read_tsv_manifest, write_units_file
+    from ..data.manifests import read_tsv_manifest
     from ..models.hubert import HubertModel
-    from ..quantize.kmeans import KMeans
-    km = (KMeans.load_joblib(args.kmeans)
-          if args.kmeans.endswith((".km", ".bin"))
-          else KMeans.load(args.kmeans))
-    hcfg, hp = load_hf_pretrained(args.hubert)
+    hcfg, hp = load_hf_pretrained(hubert)
     model = HubertModel(hcfg)
-    import jax
     feats_fn = jax.jit(lambda w: model.apply({"params": hp}, w,
-                                             tap_layer=args.layer))
-    root, rows = read_tsv_manifest(args.manifest)
-    entries = []
+                                             tap_layer=layer))
+    root, rows = read_tsv_manifest(manifest)
+    if sample_pct < 1.0:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(rows), max(1, int(sample_pct * len(rows))),
+                          replace=False)
+        rows = [rows[i] for i in sorted(keep)]
     for rel, _ in rows:
         wav, _ = load_wav(root / rel, target_sr=16000)
         pad = (-len(wav)) % 16000
         feats = feats_fn(jnp.asarray(np.pad(wav, (0, pad)))[None])[0]
         n = (len(wav) - 400) // 320 + 1
-        units = np.asarray(km(feats[:n]))
-        entries.append((Path(rel).stem, units))
+        yield rel, np.asarray(feats[:n])
+
+
+def cmd_quantize(args):
+    """HuBERT features → k-means units file (quantize_with_kmeans.py)."""
+    from ..data.manifests import write_units_file
+    from ..quantize.kmeans import KMeans
+    km = (KMeans.load_joblib(args.kmeans)
+          if args.kmeans.endswith((".km", ".bin"))
+          else KMeans.load(args.kmeans))
+    entries = [(Path(rel).stem, np.asarray(km(feats)))
+               for rel, feats in _hubert_feature_iter(
+                   args.manifest, args.hubert, args.layer)]
     write_units_file(args.out, entries)
     print(f"units -> {args.out}")
+
+
+def cmd_features(args):
+    """Manifest → HuBERT-layer features on disk (get_and_dump_features,
+    `I_da/src/utils.py:114-144`): flattened .npy for k-means fitting (the
+    manifest is copied alongside, as the reference does), plus optional
+    per-utterance kaldi ark/scp export (save_dict_kaldimat,
+    `I_da/src/utils.py:346-356` — written directly, no kaldi binary)."""
+    import shutil
+    mats, flat = [], []
+    for rel, feats in _hubert_feature_iter(args.manifest, args.hubert,
+                                           args.layer,
+                                           sample_pct=args.sample_pct,
+                                           seed=args.seed):
+        mats.append((Path(rel).stem, feats))
+        flat.append(feats)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.save(out, np.concatenate(flat, axis=0))
+    shutil.copyfile(args.manifest, out.parent / Path(args.manifest).name)
+    print(f"features ({sum(len(f) for f in flat)} frames) -> {out}")
+    if args.kaldi:
+        from ..utils.kaldi import write_mats
+        ark, scp = write_mats(mats, args.kaldi)
+        print(f"kaldi -> {ark} + {scp}")
 
 
 def cmd_parse_codes(args):
@@ -206,6 +245,17 @@ def main(argv=None):
     s.add_argument("--kmeans", required=True)
     s.add_argument("--out", required=True)
 
+    s = sub.add_parser("features")
+    s.add_argument("--manifest", required=True)
+    s.add_argument("--hubert", required=True)
+    s.add_argument("--layer", type=int, default=6)
+    s.add_argument("--sample-pct", type=float, default=1.0)
+    s.add_argument("--seed", type=int, default=1234)
+    s.add_argument("--out", required=True,
+                   help="flattened features .npy (k-means fit input)")
+    s.add_argument("--kaldi", default=None,
+                   help="also write per-utterance <prefix>.ark/.scp")
+
     s = sub.add_parser("parse-codes")
     s.add_argument("--manifest", required=True)
     s.add_argument("--units", required=True)
@@ -222,7 +272,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     {"download": cmd_download, "splits": cmd_splits, "preprocess": cmd_preprocess, "manifest": cmd_manifest,
-     "quantize": cmd_quantize, "parse-codes": cmd_parse_codes,
+     "quantize": cmd_quantize, "features": cmd_features,
+     "parse-codes": cmd_parse_codes,
      "f0-stats": cmd_f0_stats}[args.cmd](args)
 
 

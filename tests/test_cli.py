@@ -139,3 +139,73 @@ def test_predict_ea_mask_span_parsing():
         parse_mask_spans(None, None, None)       # no span at all
     with pytest.raises(ValueError):
         parse_mask_spans(2.0, 1.0, None)         # end before start
+
+
+def test_kaldi_ark_roundtrip(tmp_path, rng):
+    """Self-contained kaldi binary matrix I/O (utils/kaldi.py — replaces
+    kaldi_io + copy-feats, reference I_da/src/utils.py:346-356): ark scan
+    and scp random access both recover the written matrices bit-exactly,
+    f32 and f64 tokens included."""
+    import pytest
+    from speech_inpainting_tpu.utils import kaldi
+
+    mats = {
+        "utt_a": rng.standard_normal((7, 13)).astype(np.float32),
+        "utt_b": rng.standard_normal((1, 4)).astype(np.float64),
+        "utt_c": np.zeros((3, 2), np.float32),
+    }
+    ark, scp = kaldi.write_mats(mats.items(), tmp_path / "feats")
+    got_ark = kaldi.read_ark(ark)
+    got_scp = kaldi.read_scp(scp)
+    assert list(got_ark) == list(mats)
+    for k in mats:
+        np.testing.assert_array_equal(got_ark[k], mats[k])
+        np.testing.assert_array_equal(got_scp[k], mats[k])
+        assert got_ark[k].dtype == mats[k].dtype
+    with pytest.raises(ValueError):
+        kaldi.write_mats([("bad key", np.zeros((2, 2)))], tmp_path / "x")
+    with pytest.raises(ValueError):
+        kaldi.write_mats([("v", np.zeros(5))], tmp_path / "y")   # 1-D
+
+
+def test_prep_features_dump(tmp_path, rng):
+    """`prep features` mirrors get_and_dump_features (I_da/src/utils.py:
+    114-144): flattened .npy + manifest copy, optional kaldi ark/scp export,
+    and --sample-pct subsampling."""
+    import torch
+    from transformers import HubertConfig as HFConfig
+    from transformers import HubertModel as HFHubert
+
+    torch.manual_seed(0)
+    hf = HFHubert(HFConfig(
+        conv_dim=[8, 8, 8], conv_stride=[5, 2, 2], conv_kernel=[10, 3, 3],
+        conv_bias=False, feat_extract_norm="group", hidden_size=16,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=24,
+        num_conv_pos_embeddings=15, num_conv_pos_embedding_groups=1,
+        do_stable_layer_norm=False))
+    ckpt = tmp_path / "tiny_hubert"
+    hf.save_pretrained(ckpt)
+
+    wavs = make_corpus(tmp_path, rng, sr=16000, seconds=0.4)
+    dest = tmp_path / "manifests"
+    prep.main(["manifest", "--root", str(wavs), "--dest", str(dest)])
+
+    out = tmp_path / "feat" / "train_feats.npy"
+    prep.main(["features", "--manifest", str(dest / "train.tsv"),
+               "--hubert", str(ckpt), "--layer", "1",
+               "--out", str(out), "--kaldi", str(tmp_path / "feat" / "k")])
+    flat = np.load(out)
+    assert flat.ndim == 2 and flat.shape[1] == 16
+    assert (out.parent / "train.tsv").exists()        # manifest copied
+
+    from speech_inpainting_tpu.utils import kaldi
+    per_utt = kaldi.read_scp(tmp_path / "feat" / "k.scp")
+    assert len(per_utt) == 3
+    np.testing.assert_allclose(
+        np.concatenate([per_utt[k] for k in per_utt]), flat, atol=1e-6)
+
+    sub = tmp_path / "feat" / "sub.npy"
+    prep.main(["features", "--manifest", str(dest / "train.tsv"),
+               "--hubert", str(ckpt), "--layer", "1",
+               "--sample-pct", "0.34", "--out", str(sub)])
+    assert len(np.load(sub)) < len(flat)              # subsampled
