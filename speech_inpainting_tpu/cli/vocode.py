@@ -2,7 +2,8 @@
 extraction.
 
 Replaces I_ea/hifi_gan/inference.py (wav→wav), inference_e2e.py (mel→wav),
-and I_da/scripts/infer_vqvae_codes.py (waveform → learned content units).
+inference_modified.py's replace_mel_cluster demo (--quantize-mel), and
+I_da/scripts/infer_vqvae_codes.py (waveform → learned content units).
 
   python -m speech_inpainting_tpu.cli.vocode wav2wav --input-dir test_files \
       --checkpoint g_02500000 --out generated_files
@@ -38,15 +39,39 @@ def _load_generator(checkpoint, config):
     return fwd, gcfg
 
 
+def replace_mel_span_with_centroids(mel, km, start: int, length: int):
+    """The replace_mel_cluster listening demo (inference_modified.py:75-89):
+    substitute `mel[..., start:start+length]` (mel (1, 80, T)) with each
+    frame's nearest k-means centroid, to hear the quantization floor.
+    The reference hardcodes frames [50, 250)."""
+    m = np.array(mel)
+    span = m[0, :, start:start + length]                 # (80, L)
+    labels = np.asarray(km(span.T))
+    m[0, :, start:start + length] = np.asarray(km.centroids)[labels].T
+    return m
+
+
 def cmd_wav2wav(args):
     fwd, gcfg = _load_generator(args.checkpoint, args.config)
+    km = None
+    if getattr(args, "quantize_mel", None):
+        from ..quantize.kmeans import KMeans
+        km = (KMeans.load_joblib(args.quantize_mel)
+              if args.quantize_mel.endswith((".km", ".bin"))
+              else KMeans.load(args.quantize_mel))
+        q_start, q_len = (int(v) for v in args.quantize_span.split(":"))
     os.makedirs(args.out, exist_ok=True)
     for p in sorted(Path(args.input_dir).glob("*.wav")):
         wav, _ = load_wav(p, target_sr=gcfg.sampling_rate)
         wav = peak_normalize(wav, 0.95)
         mel = mel_spectrogram(jnp.asarray(wav)[None], VOCODER_MEL_22K)
+        suffix = "_generated"
+        if km is not None:
+            mel = jnp.asarray(
+                replace_mel_span_with_centroids(mel, km, q_start, q_len))
+            suffix = "_generated_quantized"
         out = np.asarray(fwd(mel))[0]
-        save_wav(Path(args.out) / f"{p.stem}_generated.wav", out,
+        save_wav(Path(args.out) / f"{p.stem}{suffix}.wav", out,
                  gcfg.sampling_rate)
     print(f"-> {args.out}")
 
@@ -95,6 +120,13 @@ def main(argv=None):
         s.add_argument("--checkpoint", required=True)
         s.add_argument("--config", default=None)
         s.add_argument("--out", required=True)
+        if name == "wav2wav":
+            s.add_argument("--quantize-mel", default=None, metavar="KMEANS",
+                           help="replace a mel span with nearest centroids "
+                                "before vocoding (replace_mel_cluster demo)")
+            s.add_argument("--quantize-span", default="50:200",
+                           metavar="START:LEN",
+                           help="frame span to quantize (reference default)")
     s = sub.add_parser("codes")
     s.add_argument("--config", required=True)
     s.add_argument("--checkpoint", required=True)

@@ -209,3 +209,38 @@ def test_prep_features_dump(tmp_path, rng):
                "--hubert", str(ckpt), "--layer", "1",
                "--sample-pct", "0.34", "--out", str(sub)])
     assert len(np.load(sub)) < len(flat)              # subsampled
+
+
+def test_vocode_quantize_mel_demo(tmp_path, rng, monkeypatch):
+    """--quantize-mel on vocode wav2wav = replace_mel_cluster
+    (I_ea/hifi_gan/inference_modified.py:75-89): the requested span becomes
+    exact centroids, frames outside are untouched; the CLI writes the
+    _generated_quantized artifact (generator stubbed — the demo's subject
+    is the mel substitution, not the vocoder)."""
+    from speech_inpainting_tpu.cli import vocode
+    from speech_inpainting_tpu.quantize.kmeans import KMeans
+
+    C = rng.standard_normal((5, 80)).astype(np.float32)
+    km = KMeans(centroids=C)
+    mel = rng.standard_normal((1, 80, 40)).astype(np.float32)
+    q = vocode.replace_mel_span_with_centroids(mel, km, 10, 8)
+    np.testing.assert_array_equal(q[0, :, :10], mel[0, :, :10])
+    np.testing.assert_array_equal(q[0, :, 18:], mel[0, :, 18:])
+    for t in range(10, 18):
+        assert any(np.allclose(q[0, :, t], c) for c in C)
+        lab = int(np.asarray(km(mel[0, :, t][None]))[0])
+        np.testing.assert_allclose(q[0, :, t], C[lab], atol=1e-6)
+
+    model = tmp_path / "km.npy"
+    np.save(model, C)
+    wavs = make_corpus(tmp_path, rng, n=1, sr=22050, seconds=0.6)
+    monkeypatch.setattr(
+        vocode, "_load_generator",
+        lambda ckpt, cfg: (lambda mel: np.zeros((1, 256)),
+                           __import__("types").SimpleNamespace(
+                               sampling_rate=22050)))
+    out = tmp_path / "gen"
+    vocode.main(["wav2wav", "--input-dir", str(wavs),
+                 "--checkpoint", "unused", "--out", str(out),
+                 "--quantize-mel", str(model), "--quantize-span", "5:10"])
+    assert (out / "p0_u_generated_quantized.wav").exists()
