@@ -68,6 +68,12 @@ def main(argv=None):
                         "the smallest of K quantile length buckets instead "
                         "of max length (K jit specializations, near-tight "
                         "padding; numerics unchanged — see data/ea_dataset)")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="split each batch into K sequential microbatches "
+                        "and sum their grads before the optimizer update — "
+                        "identical semantics (sum-reduced losses), ~K x "
+                        "lower peak activation memory; batch size must "
+                        "divide by K")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -82,9 +88,12 @@ def main(argv=None):
     centroids = np.asarray(km.centroids)
     out_dim = 100 if args.loss == "softmax" else centroids.shape[-1]
 
+    if args.batch_size % args.grad_accum:
+        raise SystemExit("--batch-size must be divisible by --grad-accum")
     cfg = EAConfig(base_lr=args.base_lr, fc_lr=args.fc_lr, loss=args.loss,
                    train_encoder=not args.freeze_encoder,
-                   mask_length=args.mask_length)
+                   mask_length=args.mask_length,
+                   grad_accum=args.grad_accum)
     hcfg = (HubertConfig.large() if args.hubert_type == "large"
             else HubertConfig.base())
     model = EncoderWithHead(hcfg, out_dim=out_dim)

@@ -42,6 +42,7 @@ class EAConfig:
     loss: str = "cos_sim"            # cos_sim | mse | softmax
     train_encoder: bool = True       # reference train_encoder flag
     mask_length: int = 20            # frames (20 ms each)
+    grad_accum: int = 1              # microbatches per optimizer update
 
 
 class EATrainState(struct.PyTreeNode):
@@ -112,12 +113,39 @@ def make_train_step(model: EncoderWithHead, cfg: EAConfig,
         cos_acc = jnp.mean((cs >= 0.95).astype(jnp.float32))
         return loss, dict(acc=acc, cos_sim_acc=cos_acc)
 
+    def grads_and_metrics(params, batch):
+        if cfg.grad_accum <= 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            return grads, dict(loss=loss, **metrics)
+        # Gradient accumulation: scan K microbatches, SUM grads. Because the
+        # reference losses reduce by SUM over the batch (loss_fn.py:6-101 —
+        # kept in losses.py), summed microbatch grads equal the full-batch
+        # gradient exactly (up to f32 reorder), so accumulation changes peak
+        # activation memory (÷K), not training semantics; pinned by
+        # tests/test_train_ea.py::test_grad_accum_matches_full_batch.
+        A = cfg.grad_accum
+        micro = jax.tree.map(
+            lambda x: x.reshape((A, x.shape[0] // A) + x.shape[1:]), batch)
+
+        def body(gsum, mb):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb)
+            return (jax.tree.map(jnp.add, gsum, grads),
+                    dict(loss=loss, **metrics))
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        grads, ms = jax.lax.scan(body, zeros, micro)
+        # sum-reduced loss adds up; per-microbatch mean accuracies average
+        # (equal microbatch sizes → mean of means == full-batch mean)
+        metrics = {k: (v.sum() if k == "loss" else v.mean())
+                   for k, v in ms.items()}
+        return grads, metrics
+
     def step(state: EATrainState, batch):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+        grads, metrics = grads_and_metrics(state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(loss=loss, **metrics)
         return EATrainState(step=state.step + 1, params=params,
                             opt_state=opt_state), metrics
 

@@ -145,3 +145,55 @@ def test_data_parallel_matches_single_device(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s8.params),
                     jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grad_accum_matches_full_batch(rng):
+    """grad_accum=K sums microbatch grads of the SUM-reduced reference
+    losses, so the update equals the full-batch step exactly (up to f32
+    reorder) — accumulation trades peak activation memory, not semantics."""
+    _, model, params, centroids = setup(rng)
+    outs = []
+    for accum in (1, 2):
+        cfg = EAConfig(mask_length=3, grad_accum=accum)
+        state = create_state(cfg, params)
+        step = jax.jit(make_train_step(model, cfg, centroids))
+        batch_rng = np.random.default_rng(7)
+        batch = make_batch(batch_rng, cfg, B=4)
+        new_state, m = step(state, batch)
+        outs.append((new_state, m))
+    (s1, m1), (s2, m2) = outs
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    assert float(m1["acc"]) == float(m2["acc"])
+    # atol covers Adam's step-1 normalization amplifying f32-reorder noise
+    # on near-zero grads (update scale is lr=1e-4; observed diffs <1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accum_composes_with_mesh(rng):
+    """grad_accum reshapes the dp-sharded batch (B,)->(K, B/K) before the
+    scan; GSPMD must handle that resharding without changing the update."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from speech_inpainting_tpu.parallel.mesh import make_mesh
+
+    _, model, params, centroids = setup(rng)
+    batch = make_batch(np.random.default_rng(3), EAConfig(mask_length=3), B=8)
+
+    cfg1 = EAConfig(mask_length=3)
+    s1, m1 = jax.jit(make_train_step(model, cfg1, centroids))(
+        create_state(cfg1, params), batch)
+
+    cfg2 = EAConfig(mask_length=3, grad_accum=2)
+    mesh = make_mesh()
+    repl, data = NamedSharding(mesh, P()), NamedSharding(mesh, P("dp"))
+    state_r = jax.device_put(create_state(cfg2, params), repl)
+    batch_r = jax.tree.map(lambda x: jax.device_put(x, data), batch)
+    s2, m2 = jax.jit(make_train_step(model, cfg2, centroids),
+                     in_shardings=(repl, data),
+                     out_shardings=(repl, repl))(state_r, batch_r)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
