@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--training-steps", type=int, default=None)
     p.add_argument("--cache-dir", default=None)
+    p.add_argument("--skip-nonfinite", type=int, default=0,
+                   metavar="N",
+                   help="skip nan/inf-grad updates, error after "
+                        "N consecutive (GANConfig.skip_nonfinite)")
     p.add_argument("--bf16-disc", action="store_true",
                    help="discriminators compute in bf16 (params/losses f32;"
                         " +20%% steps/s, BENCH_TRAIN_r03.json)")
@@ -67,7 +71,8 @@ def main(argv=None):
                       lambda_commit=h.get("lambda_commit_code", 0) or 0,
                       frozen_g_paths=("fo_vqvae",),
                       # bit-identical (BENCH_TRAIN_r03.json)
-                      batched_disc=True, disc_bf16=args.bf16_disc),
+                      batched_disc=True, disc_bf16=args.bf16_disc,
+                      skip_nonfinite=args.skip_nonfinite),
         mel_loss=mel_loss, segment_size=h.get("segment_size", 8960),
         code_hop_size=h.get("code_hop_size", 320))
 

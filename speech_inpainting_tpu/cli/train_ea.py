@@ -74,6 +74,9 @@ def main(argv=None):
                         "identical semantics (sum-reduced losses), ~K x "
                         "lower peak activation memory; batch size must "
                         "divide by K")
+    p.add_argument("--skip-nonfinite", type=int, default=0, metavar="N",
+                   help="skip nan/inf-grad updates, error after N "
+                        "consecutive (EAConfig.skip_nonfinite)")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -93,7 +96,8 @@ def main(argv=None):
     cfg = EAConfig(base_lr=args.base_lr, fc_lr=args.fc_lr, loss=args.loss,
                    train_encoder=not args.freeze_encoder,
                    mask_length=args.mask_length,
-                   grad_accum=args.grad_accum)
+                   grad_accum=args.grad_accum,
+                   skip_nonfinite=args.skip_nonfinite)
     hcfg = (HubertConfig.large() if args.hubert_type == "large"
             else HubertConfig.base())
     model = EncoderWithHead(hcfg, out_dim=out_dim)

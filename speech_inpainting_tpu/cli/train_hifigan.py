@@ -86,6 +86,10 @@ def main(argv=None):
     p.add_argument("--mask-len", type=int, default=20)
     p.add_argument("--warm-start", default=None,
                    help="torch g_* checkpoint (e.g. UNIVERSAL_V1) to import")
+    p.add_argument("--skip-nonfinite", type=int, default=0,
+                   metavar="N",
+                   help="skip nan/inf-grad updates, error after "
+                        "N consecutive (GANConfig.skip_nonfinite)")
     p.add_argument("--bf16-disc", action="store_true",
                    help="discriminators compute in bf16 (params/losses f32;"
                         " +20%% steps/s, BENCH_TRAIN_r03.json)")
@@ -112,7 +116,8 @@ def main(argv=None):
                       lr_decay=h.get("lr_decay", 0.999),
                       # bit-identical to the two-call layout
                       # (BENCH_TRAIN_r03.json)
-                      batched_disc=True, disc_bf16=args.bf16_disc),
+                      batched_disc=True, disc_bf16=args.bf16_disc,
+                      skip_nonfinite=args.skip_nonfinite),
         hifigan=gcfg, segment_size=seg, mask_len=args.mask_len)
 
     if args.filelist:

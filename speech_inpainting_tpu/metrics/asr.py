@@ -4,6 +4,12 @@ The reference transcribes with Whisper-small and scores WER/CER against the
 target text (I_ea/metrics.py:80-119). This environment has no network egress,
 so loading succeeds only from a local cache — `WhisperScorer.available()`
 gates cleanly and the eval harness reports WER/CER as None when absent.
+
+The reference's alternative `recognize_speech` engines (google / sphinx via
+the SpeechRecognition package, I_ea/metrics.py:64-79) are cloud APIs /
+absent binaries under the same egress constraint, so they are deliberately
+not wrapped; `metrics/units.py` UER is the offline intelligibility proxy
+the eval tables carry instead.
 """
 from __future__ import annotations
 

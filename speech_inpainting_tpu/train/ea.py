@@ -43,6 +43,14 @@ class EAConfig:
     train_encoder: bool = True       # reference train_encoder flag
     mask_length: int = 20            # frames (20 ms each)
     grad_accum: int = 1              # microbatches per optimizer update
+    skip_nonfinite: int = 0          # >0: skip updates whose grads contain
+                                     # nan/inf (params and optimizer moments
+                                     # untouched), erroring out after this
+                                     # many CONSECUTIVE skips. A production
+                                     # guard the reference lacks (a single
+                                     # bad batch NaNs its run); changes the
+                                     # opt_state pytree, so flip it only on
+                                     # fresh runs, not mid-restore.
 
 
 class EATrainState(struct.PyTreeNode):
@@ -67,10 +75,13 @@ def make_optimizer(cfg: EAConfig, params) -> optax.GradientTransformation:
     groups = {"head": adamw(cfg.fc_lr),
               "base": adamw(cfg.base_lr) if cfg.train_encoder
               else optax.set_to_zero()}
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.multi_transform(
             groups, lambda p: jax.tree_util.tree_map_with_path(label, p)))
+    if cfg.skip_nonfinite:
+        opt = optax.apply_if_finite(opt, cfg.skip_nonfinite)
+    return opt
 
 
 def create_state(cfg: EAConfig, params) -> EATrainState:

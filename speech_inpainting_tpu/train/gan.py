@@ -49,6 +49,8 @@ class GANConfig:
                                      # — long axis on the TPU lanes; same
                                      # params/losses (models/hifigan.py
                                      # DiscriminatorP.fold_periods)
+    skip_nonfinite: int = 0          # >0: skip nan/inf-grad updates, error
+                                     # after N consecutive (see _guard)
     disc_bf16: bool = False          # discriminator convs compute in bf16
                                      # (params stay f32; losses reduce in
                                      # f32). The step is memory-bound and
@@ -68,18 +70,32 @@ class GANTrainState(struct.PyTreeNode):
     rng: Any = None                  # PRNG key for in-step VQ restarts
 
 
+def _guard(cfg: GANConfig, opt) -> optax.GradientTransformation:
+    """skip_nonfinite>0 wraps the optimizer so updates whose grads contain
+    nan/inf are skipped whole (params and moments untouched), erroring out
+    after that many CONSECUTIVE skips — a production guard the reference
+    lacks (one bad batch NaNs its run). Changes the opt_state pytree:
+    flip only on fresh runs, not mid-restore."""
+    return optax.apply_if_finite(opt, cfg.skip_nonfinite) \
+        if cfg.skip_nonfinite else opt
+
+
 def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
     sched = optax.exponential_decay(
         init_value=cfg.learning_rate, transition_steps=cfg.steps_per_epoch,
         decay_rate=cfg.lr_decay, staircase=True)
-    return optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                       weight_decay=cfg.weight_decay)
+    return _guard(cfg, optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                   weight_decay=cfg.weight_decay))
 
 
 def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
-    base = _make_opt(cfg)
     if not cfg.frozen_g_paths:
-        return base
+        return _make_opt(cfg)
+    sched = optax.exponential_decay(
+        init_value=cfg.learning_rate, transition_steps=cfg.steps_per_epoch,
+        decay_rate=cfg.lr_decay, staircase=True)
+    base = optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                       weight_decay=cfg.weight_decay)
 
     def labels(params):
         def lab(path, _):
@@ -87,8 +103,8 @@ def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
             return "frozen" if top in cfg.frozen_g_paths else "train"
         return jax.tree_util.tree_map_with_path(lab, params)
 
-    return optax.multi_transform(
-        {"train": base, "frozen": optax.set_to_zero()}, labels)
+    return _guard(cfg, optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, labels))
 
 
 def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,

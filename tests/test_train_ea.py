@@ -197,3 +197,27 @@ def test_grad_accum_composes_with_mesh(rng):
                                rtol=2e-4)
     for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_skip_nonfinite_guard(rng):
+    """EAConfig.skip_nonfinite: a nan batch leaves params AND optimizer
+    moments untouched (the whole update is skipped), and the next finite
+    batch still applies — one bad batch can't nan the run."""
+    _, model, params, centroids = setup(rng)
+    cfg = EAConfig(mask_length=3, skip_nonfinite=5)
+    state = create_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg, centroids))
+    batch = make_batch(np.random.default_rng(5), cfg, B=2)
+    bad = dict(batch, wav=batch["wav"].at[0, 10].set(np.nan)
+               if hasattr(batch["wav"], "at")
+               else np.where(np.arange(batch["wav"].size).reshape(
+                   batch["wav"].shape) == 10, np.nan, batch["wav"]))
+    s_bad, m_bad = step(state, bad)
+    for a, b in zip(jax.tree.leaves(s_bad.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.isfinite(float(m_bad["loss"]))
+    s_ok, m_ok = step(s_bad, batch)
+    assert np.isfinite(float(m_ok["loss"]))
+    assert any(float(jnp.abs(a - b).max()) > 0 for a, b in zip(
+        jax.tree.leaves(s_ok.params), jax.tree.leaves(s_bad.params)))
