@@ -51,9 +51,7 @@ def main(argv=None):
         args.codegen_checkpoint, ccfg)
     from ..convert.hubert_torch import load_hf_pretrained
     hcfg, hp = load_hf_pretrained(args.hubert)
-    km = (KMeans.load_joblib(args.kmeans)
-          if args.kmeans.endswith((".km", ".bin"))
-          else KMeans.load(args.kmeans))
+    km = KMeans.load_auto(args.kmeans)
 
     inp = IdaInpainter(ccfg, cg_params, vq_tree, hcfg, hp, km.centroids,
                        tap_layer=args.layer,

@@ -58,9 +58,7 @@ def cmd_fit(args):
 
 
 def cmd_label(args):
-    km = (KMeans.load_joblib(args.model) if args.model.endswith((".km",
-                                                                 ".bin"))
-          else KMeans.load(args.model))
+    km = KMeans.load_auto(args.model)
     os.makedirs(args.out, exist_ok=True)
     for name in _wav_names(args):
         wav, _ = load_wav(Path(args.wavs) / f"{name}.wav", target_sr=22050)

@@ -47,9 +47,7 @@ def save_fig(mel, out_dir, name):
 
 
 def load_inpainter(args) -> InformedInpainter:
-    km = (KMeans.load_joblib(args.kmeans)
-          if args.kmeans.endswith((".km", ".bin"))
-          else KMeans.load(args.kmeans))
+    km = KMeans.load_auto(args.kmeans)
     hcfg = (HubertConfig.large() if args.hubert_type == "large"
             else HubertConfig.base())
 

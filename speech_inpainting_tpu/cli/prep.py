@@ -47,8 +47,11 @@ def _hubert_feature_iter(manifest, hubert, layer, sample_pct=1.0, seed=1234):
     from ..models.hubert import HubertModel
     hcfg, hp = load_hf_pretrained(hubert)
     model = HubertModel(hcfg)
-    feats_fn = jax.jit(lambda w: model.apply({"params": hp}, w,
-                                             tap_layer=layer))
+    # params as jit ARGUMENTS, not closure constants: constants serialize
+    # into the HLO and blow the remote-compile request limit (HTTP 413)
+    # for real HuBERT sizes (CLAUDE.md / infer/inpaint.py convention)
+    feats_fn = jax.jit(lambda p, w: model.apply({"params": p}, w,
+                                                tap_layer=layer))
     root, rows = read_tsv_manifest(manifest)
     if sample_pct < 1.0:
         rng = np.random.default_rng(seed)
@@ -58,7 +61,7 @@ def _hubert_feature_iter(manifest, hubert, layer, sample_pct=1.0, seed=1234):
     for rel, _ in rows:
         wav, _ = load_wav(root / rel, target_sr=16000)
         pad = (-len(wav)) % 16000
-        feats = feats_fn(jnp.asarray(np.pad(wav, (0, pad)))[None])[0]
+        feats = feats_fn(hp, jnp.asarray(np.pad(wav, (0, pad)))[None])[0]
         n = (len(wav) - 400) // 320 + 1
         yield rel, np.asarray(feats[:n])
 
@@ -67,9 +70,7 @@ def cmd_quantize(args):
     """HuBERT features → k-means units file (quantize_with_kmeans.py)."""
     from ..data.manifests import write_units_file
     from ..quantize.kmeans import KMeans
-    km = (KMeans.load_joblib(args.kmeans)
-          if args.kmeans.endswith((".km", ".bin"))
-          else KMeans.load(args.kmeans))
+    km = KMeans.load_auto(args.kmeans)
     entries = [(Path(rel).stem, np.asarray(km(feats)))
                for rel, feats in _hubert_feature_iter(
                    args.manifest, args.hubert, args.layer)]
@@ -91,10 +92,15 @@ def cmd_features(args):
                                            seed=args.seed):
         mats.append((Path(rel).stem, feats))
         flat.append(feats)
+    if not flat:
+        raise SystemExit(f"manifest {args.manifest} has no rows "
+                         "(after --sample-pct subsampling)")
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     np.save(out, np.concatenate(flat, axis=0))
-    shutil.copyfile(args.manifest, out.parent / Path(args.manifest).name)
+    mcopy = out.parent / Path(args.manifest).name
+    if mcopy.resolve() != Path(args.manifest).resolve():
+        shutil.copyfile(args.manifest, mcopy)
     print(f"features ({sum(len(f) for f in flat)} frames) -> {out}")
     if args.kaldi:
         from ..utils.kaldi import write_mats

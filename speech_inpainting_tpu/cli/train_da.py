@@ -39,8 +39,8 @@ def main(argv=None):
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--skip-nonfinite", type=int, default=0,
                    metavar="N",
-                   help="skip nan/inf-grad updates, error after "
-                        "N consecutive (GANConfig.skip_nonfinite)")
+                   help="never apply nan/inf-grad updates; abort (after "
+                        "checkpointing) past N consecutive skips")
     p.add_argument("--bf16-disc", action="store_true",
                    help="discriminators compute in bf16 (params/losses f32;"
                         " +20%% steps/s, BENCH_TRAIN_r03.json)")
@@ -130,7 +130,7 @@ def main(argv=None):
         mesh = make_mesh()
     run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
                     log_dir=args.log_dir, training_steps=args.training_steps,
-                    mesh=mesh)
+                    mesh=mesh, abort_nonfinite=args.skip_nonfinite)
     batch_size = h.get("batch_size", 16)
     run_gan_training(step, state,
                      lambda epoch: ds.batches(batch_size, epoch=epoch,

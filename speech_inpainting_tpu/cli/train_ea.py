@@ -67,7 +67,8 @@ def main(argv=None):
                    help="length-bucketed batching: pad each utterance to "
                         "the smallest of K quantile length buckets instead "
                         "of max length (K jit specializations, near-tight "
-                        "padding; numerics unchanged — see data/ea_dataset)")
+                        "padding; weakly pad-length-dependent like torch "
+                        "dynamic padding — see data/ea_dataset)")
     p.add_argument("--grad-accum", type=int, default=1, metavar="K",
                    help="split each batch into K sequential microbatches "
                         "and sum their grads before the optimizer update — "
@@ -75,8 +76,8 @@ def main(argv=None):
                         "lower peak activation memory; batch size must "
                         "divide by K")
     p.add_argument("--skip-nonfinite", type=int, default=0, metavar="N",
-                   help="skip nan/inf-grad updates, error after N "
-                        "consecutive (EAConfig.skip_nonfinite)")
+                   help="never apply nan/inf-grad updates; abort (after "
+                        "checkpointing) past N consecutive skips")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -85,9 +86,7 @@ def main(argv=None):
     if initialize_from_args(args):
         args.mesh = True
 
-    km = (KMeans.load_joblib(args.kmeans)
-          if args.kmeans.endswith((".km", ".bin"))
-          else KMeans.load(args.kmeans))
+    km = KMeans.load_auto(args.kmeans)
     centroids = np.asarray(km.centroids)
     out_dim = 100 if args.loss == "softmax" else centroids.shape[-1]
 
@@ -132,7 +131,8 @@ def main(argv=None):
         from ..parallel.mesh import make_mesh
         mesh = make_mesh()
     run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
-                    log_dir=args.log_dir, mesh=mesh)
+                    log_dir=args.log_dir, mesh=mesh,
+                    abort_nonfinite=args.skip_nonfinite)
     buckets = None
     if args.buckets:
         from ..data.ea_dataset import plan_buckets

@@ -88,8 +88,8 @@ def main(argv=None):
                    help="torch g_* checkpoint (e.g. UNIVERSAL_V1) to import")
     p.add_argument("--skip-nonfinite", type=int, default=0,
                    metavar="N",
-                   help="skip nan/inf-grad updates, error after "
-                        "N consecutive (GANConfig.skip_nonfinite)")
+                   help="never apply nan/inf-grad updates; abort (after "
+                        "checkpointing) past N consecutive skips")
     p.add_argument("--bf16-disc", action="store_true",
                    help="discriminators compute in bf16 (params/losses f32;"
                         " +20%% steps/s, BENCH_TRAIN_r03.json)")
@@ -145,9 +145,7 @@ def main(argv=None):
 
     if args.modified:
         assert args.kmeans, "--modified requires --kmeans"
-        km = (KMeans.load_joblib(args.kmeans)
-              if args.kmeans.endswith((".km", ".bin"))
-              else KMeans.load(args.kmeans))
+        km = KMeans.load_auto(args.kmeans)
         step = make_modified_step(tcfg, km.centroids)
         n441 = max(1, MODIFIED_MEL_22K.num_frames(seg) - args.mask_len)
     else:
@@ -177,7 +175,8 @@ def main(argv=None):
         mesh = make_mesh()
         print(f"data-parallel over {mesh.devices.size} devices")
     run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
-                    log_dir=args.log_dir, mesh=mesh)
+                    log_dir=args.log_dir, mesh=mesh,
+                    abort_nonfinite=args.skip_nonfinite)
     run_gan_training(step, state,
                      lambda epoch: ds.batches(args.batch_size, epoch=epoch,
                                               seed=args.seed,

@@ -56,9 +56,7 @@ def cmd_wav2wav(args):
     km = None
     if getattr(args, "quantize_mel", None):
         from ..quantize.kmeans import KMeans
-        km = (KMeans.load_joblib(args.quantize_mel)
-              if args.quantize_mel.endswith((".km", ".bin"))
-              else KMeans.load(args.quantize_mel))
+        km = KMeans.load_auto(args.quantize_mel)
         q_start, q_len = (int(v) for v in args.quantize_span.split(":"))
     os.makedirs(args.out, exist_ok=True)
     for p in sorted(Path(args.input_dir).glob("*.wav")):

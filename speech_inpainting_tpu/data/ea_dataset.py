@@ -139,14 +139,20 @@ class EADataset:
         (test_train_ea.py::test_ea_bucketed_step_close_to_full_padding).
         Use a single bucket (the default) for bit-reproducibility against
         the reference's fixed max-length padding. Bucket batch order is
-        shuffled so training interleaves lengths."""
+        shuffled so training interleaves lengths. With drop_last, a
+        bucket's sub-batch_size remainder SPILLS into the next (larger)
+        bucket rather than being dropped — bucket membership is
+        length-determined, so dropping would exclude the same utterances
+        every epoch; only the final bucket's remainder is dropped (the
+        same contract as unbucketed drop_last, where the shuffle rotates
+        it). Bucket lengths are clamped to max_length."""
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         order = rng.permutation(len(self)) if shuffle \
             else np.arange(len(self))
         if buckets is None:
             groups = [(self.max_length, order)]
         else:
-            bl = sorted(set(int(b) for b in buckets))
+            bl = sorted({min(int(b), self.max_length) for b in buckets})
             assert bl[0] > 80 + 320 * self.mask_length, \
                 f"bucket {bl[0]} leaves no room for a {self.mask_length}" \
                 "-frame mask"
@@ -157,12 +163,19 @@ class EADataset:
             which = np.searchsorted(bl, lens, side="left")
             groups = [(blen, order[which == k]) for k, blen in enumerate(bl)]
         plan = []
-        for pad_len, idxs in groups:
-            n_full = len(idxs) // batch_size
-            end = n_full * batch_size if drop_last else len(idxs)
+        spill = order[:0]
+        for gi, (pad_len, idxs) in enumerate(groups):
+            if len(spill):
+                idxs = np.concatenate([spill, idxs])
+                spill = order[:0]
+            if drop_last:
+                end = (len(idxs) // batch_size) * batch_size
+                if gi + 1 < len(groups):
+                    spill = idxs[end:]
+            else:
+                end = len(idxs)
             plan.extend((pad_len, idxs[s:s + batch_size])
-                        for s in range(0, end, batch_size)
-                        if not (drop_last and s + batch_size > len(idxs)))
+                        for s in range(0, end, batch_size))
         if buckets is not None and shuffle:
             plan = [plan[j] for j in rng.permutation(len(plan))]
         L = self.mask_length

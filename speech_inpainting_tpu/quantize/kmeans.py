@@ -205,3 +205,11 @@ class KMeans:
     @staticmethod
     def load(path: str) -> "KMeans":
         return KMeans(jnp.asarray(np.load(path), jnp.float32))
+
+    @staticmethod
+    def load_auto(path: str) -> "KMeans":
+        """Dispatch on extension: reference joblib models (.km/.bin) vs
+        this framework's .npy centroids — the one format check every CLI
+        shares."""
+        return (KMeans.load_joblib(path)
+                if str(path).endswith((".km", ".bin")) else KMeans.load(path))

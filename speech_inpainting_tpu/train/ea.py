@@ -43,14 +43,16 @@ class EAConfig:
     train_encoder: bool = True       # reference train_encoder flag
     mask_length: int = 20            # frames (20 ms each)
     grad_accum: int = 1              # microbatches per optimizer update
-    skip_nonfinite: int = 0          # >0: skip updates whose grads contain
-                                     # nan/inf (params and optimizer moments
-                                     # untouched), erroring out after this
-                                     # many CONSECUTIVE skips. A production
-                                     # guard the reference lacks (a single
-                                     # bad batch NaNs its run); changes the
-                                     # opt_state pytree, so flip it only on
-                                     # fresh runs, not mid-restore.
+    skip_nonfinite: int = 0          # >0: NEVER apply updates whose grads
+                                     # contain nan/inf (params and optimizer
+                                     # moments untouched — train/guard.py);
+                                     # the loop aborts loudly, checkpointing
+                                     # the still-finite state, once this many
+                                     # CONSECUTIVE skips are seen at a
+                                     # logging boundary (RunConfig.
+                                     # abort_nonfinite). Changes the
+                                     # opt_state pytree: flip only on fresh
+                                     # runs, not mid-restore.
 
 
 class EATrainState(struct.PyTreeNode):
@@ -80,7 +82,8 @@ def make_optimizer(cfg: EAConfig, params) -> optax.GradientTransformation:
         optax.multi_transform(
             groups, lambda p: jax.tree_util.tree_map_with_path(label, p)))
     if cfg.skip_nonfinite:
-        opt = optax.apply_if_finite(opt, cfg.skip_nonfinite)
+        from .guard import skip_if_nonfinite
+        opt = skip_if_nonfinite(opt)
     return opt
 
 
@@ -157,6 +160,8 @@ def make_train_step(model: EncoderWithHead, cfg: EAConfig,
         grads, metrics = grads_and_metrics(state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.skip_nonfinite:
+            metrics["nonfinite_skips"] = opt_state.notfinite_count
         return EATrainState(step=state.step + 1, params=params,
                             opt_state=opt_state), metrics
 

@@ -49,8 +49,9 @@ class GANConfig:
                                      # — long axis on the TPU lanes; same
                                      # params/losses (models/hifigan.py
                                      # DiscriminatorP.fold_periods)
-    skip_nonfinite: int = 0          # >0: skip nan/inf-grad updates, error
-                                     # after N consecutive (see _guard)
+    skip_nonfinite: int = 0          # >0: never apply nan/inf-grad updates;
+                                     # loop aborts after N consecutive skips
+                                     # (see _guard / train/guard.py)
     disc_bf16: bool = False          # discriminator convs compute in bf16
                                      # (params stay f32; losses reduce in
                                      # f32). The step is memory-bound and
@@ -72,30 +73,33 @@ class GANTrainState(struct.PyTreeNode):
 
 def _guard(cfg: GANConfig, opt) -> optax.GradientTransformation:
     """skip_nonfinite>0 wraps the optimizer so updates whose grads contain
-    nan/inf are skipped whole (params and moments untouched), erroring out
-    after that many CONSECUTIVE skips — a production guard the reference
-    lacks (one bad batch NaNs its run). Changes the opt_state pytree:
-    flip only on fresh runs, not mid-restore."""
-    return optax.apply_if_finite(opt, cfg.skip_nonfinite) \
-        if cfg.skip_nonfinite else opt
+    nan/inf are NEVER applied (params and moments untouched —
+    train/guard.py, which unlike optax.apply_if_finite never 'gives up and
+    accepts'); the training loop aborts loudly once the consecutive-skip
+    counter exceeds the budget (RunConfig.abort_nonfinite). A production
+    guard the reference lacks (one bad batch NaNs its run). Changes the
+    opt_state pytree: flip only on fresh runs, not mid-restore."""
+    if not cfg.skip_nonfinite:
+        return opt
+    from .guard import skip_if_nonfinite
+    return skip_if_nonfinite(opt)
 
 
-def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
+def _adamw(cfg: GANConfig) -> optax.GradientTransformation:
     sched = optax.exponential_decay(
         init_value=cfg.learning_rate, transition_steps=cfg.steps_per_epoch,
         decay_rate=cfg.lr_decay, staircase=True)
-    return _guard(cfg, optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                                   weight_decay=cfg.weight_decay))
+    return optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                       weight_decay=cfg.weight_decay)
+
+
+def _make_opt(cfg: GANConfig) -> optax.GradientTransformation:
+    return _guard(cfg, _adamw(cfg))
 
 
 def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
     if not cfg.frozen_g_paths:
         return _make_opt(cfg)
-    sched = optax.exponential_decay(
-        init_value=cfg.learning_rate, transition_steps=cfg.steps_per_epoch,
-        decay_rate=cfg.lr_decay, staircase=True)
-    base = optax.adamw(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                       weight_decay=cfg.weight_decay)
 
     def labels(params):
         def lab(path, _):
@@ -104,7 +108,7 @@ def _make_g_opt(cfg: GANConfig) -> optax.GradientTransformation:
         return jax.tree_util.tree_map_with_path(lab, params)
 
     return _guard(cfg, optax.multi_transform(
-        {"train": base, "frozen": optax.set_to_zero()}, labels))
+        {"train": _adamw(cfg), "frozen": optax.set_to_zero()}, labels))
 
 
 def create_gan_state(cfg: GANConfig, g_params, mpd_params, msd_params,
@@ -218,11 +222,20 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
         metrics = dict(loss_gen_all=g_loss, loss_disc=d_loss, **aux)
         if has_commit:
             metrics["commit"] = commit
+        vq = new_vq if stateful_vq else state.vq
+        if cfg.skip_nonfinite:
+            metrics["nonfinite_skips"] = jnp.maximum(
+                g_opt_state.notfinite_count, d_opt_state.notfinite_count)
+            if stateful_vq:
+                # the EMA codebooks update in-forward (quantize/vq.py), out
+                # of the optimizers' sight — gate them on their own
+                # finiteness so a nan batch can't poison state.vq
+                from .guard import tree_if_finite
+                vq = tree_if_finite(new_vq, state.vq)
         new_state = GANTrainState(step=state.step + 1, g_params=g_params,
                                   d_params=d_params, spectral=spectral,
                                   g_opt=g_opt_state, d_opt=d_opt_state,
-                                  vq=(new_vq if stateful_vq else state.vq),
-                                  rng=next_rng)
+                                  vq=vq, rng=next_rng)
         return new_state, metrics
 
     return step

@@ -36,6 +36,12 @@ class RunConfig:
     validation_interval: int = 1000
     training_steps: Optional[int] = None   # hard step cap (I_da h.training_steps)
     mesh: Optional[object] = None          # jax Mesh for dp sharding
+    abort_nonfinite: int = 0               # >0: abort (after checkpointing
+                                           # the still-finite state) once the
+                                           # step metric 'nonfinite_skips'
+                                           # (train/guard.py consecutive-skip
+                                           # counter) exceeds this at a
+                                           # stdout_interval boundary
 
 
 class PreemptionGuard:
@@ -84,6 +90,27 @@ def _mesh_jit(step_fn: Callable, run: RunConfig):
     return jstep, lambda s: shard_host_batch(run.mesh, s, PartitionSpec())
 
 
+def _check_nonfinite_abort(run: RunConfig, steps: int, metrics,
+                           save_fn: Callable):
+    """Abort the run loudly when the guard's consecutive-skip counter
+    (train/guard.py; surfaced as metrics['nonfinite_skips'] by steps built
+    with skip_nonfinite>0) exceeds the budget. Checked only at
+    stdout_interval boundaries — reading the scalar forces a device sync,
+    which the logger already pays there. The guard itself NEVER applies a
+    nonfinite update, so params are still clean: checkpoint them, then
+    raise."""
+    if not run.abort_nonfinite or steps % run.stdout_interval:
+        return
+    skips = metrics.get("nonfinite_skips")
+    if skips is None or int(skips) <= run.abort_nonfinite:
+        return
+    save_fn()
+    raise RuntimeError(
+        f"aborting at step {steps}: {int(skips)} consecutive updates had "
+        f"nonfinite grads (> budget {run.abort_nonfinite}); none were "
+        "applied — the saved checkpoint is finite. Inspect the data/lr.")
+
+
 def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                      run: RunConfig, *, valid_fn: Optional[Callable] = None):
     """Drive a GAN train state: step_fn(state, batch), make_batches(epoch) →
@@ -110,6 +137,10 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                 steps += 1
                 logger.step(steps, {k: v for k, v in metrics.items()
                                     if np.ndim(v) == 0})
+                _check_nonfinite_abort(
+                    run, steps, metrics,
+                    lambda: coord and save_gan_checkpoint(
+                        ckpt, state, steps, wait=True))
                 if pre.requested:
                     if coord:
                         save_gan_checkpoint(ckpt, state, steps, wait=True)
@@ -165,6 +196,10 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
                 steps += 1
                 logger.step(steps, {k: v for k, v in metrics.items()
                                     if np.ndim(v) == 0})
+                _check_nonfinite_abort(
+                    run, steps, metrics,
+                    lambda: coord and ckpt.save("ea_", steps, state,
+                                                wait=True))
                 if pre.requested:
                     if coord:
                         ckpt.save("ea_", steps, state, wait=True)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import struct
 from pathlib import Path
-from typing import Dict, Iterable, Tuple
+from typing import Any, Dict, Iterable, Tuple
 
 import numpy as np
 
@@ -94,16 +94,25 @@ def read_ark(ark_path) -> Dict[str, np.ndarray]:
 
 
 def read_scp(scp_path) -> Dict[str, np.ndarray]:
-    """Random-access read via an scp index (`key path:offset` lines)."""
+    """Random-access read via an scp index (`key path:offset` lines).
+    Ark file handles are cached per path — one open per ark, not per
+    utterance."""
     out = {}
-    with open(scp_path) as fs:
-        for line in fs:
-            line = line.strip()
-            if not line:
-                continue
-            key, loc = line.split(" ", 1)
-            path, offset = loc.rsplit(":", 1)
-            with open(path, "rb") as f:
+    handles: Dict[str, Any] = {}
+    try:
+        with open(scp_path) as fs:
+            for line in fs:
+                line = line.strip()
+                if not line:
+                    continue
+                key, loc = line.split(" ", 1)
+                path, offset = loc.rsplit(":", 1)
+                f = handles.get(path)
+                if f is None:
+                    f = handles[path] = open(path, "rb")
                 f.seek(int(offset))
                 out[key] = _read_mat_at(f)
+    finally:
+        for f in handles.values():
+            f.close()
     return out

@@ -226,3 +226,33 @@ def test_device_prefetch_propagates_errors():
     next(it)
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_ea_bucketed_drop_last_spills_upward(tmp_path, rng):
+    """With drop_last, a bucket's sub-batch_size remainder must spill into
+    the NEXT bucket instead of being dropped — bucket membership is
+    length-determined, so dropping would exclude the same utterances every
+    epoch. Only the final bucket's remainder is dropped (the unbucketed
+    drop_last contract). Bucket lengths beyond max_length are clamped."""
+    n, max_len = 7, 6400
+    paths = []
+    for i in range(n):
+        t = 4800 + 320 * i
+        p = tmp_path / f"u{i}.wav"
+        A.save_wav(p, rng.standard_normal(t).astype(np.float32) * 0.2, 16000)
+        paths.append(p)
+    labels = [rng.integers(0, 10, (max_len - 80) // 320) for _ in range(n)]
+    ds = EADataset(paths, labels, max_length=max_len, mask_length=3)
+    # bucket boundary at 5500: 3 wavs below (4800..5440), 4 above; a huge
+    # second bucket exercises the clamp
+    batches = list(ds.batches(2, epoch=0, buckets=[5500, 999999],
+                              drop_last=True))
+    seen = sum(b["wav"].shape[0] for b in batches)
+    assert seen == (n // 2) * 2           # only the FINAL remainder dropped
+    assert all(b["wav"].shape[1] <= max_len for b in batches)  # clamped
+    # the small bucket contributed a full batch AND its odd item trained
+    widths = sorted({b["wav"].shape[1] for b in batches})
+    assert widths[0] == 5500 and widths[-1] == max_len
+    small_items = sum(b["wav"].shape[0] for b in batches
+                      if b["wav"].shape[1] == 5500)
+    assert small_items == 2               # 3rd short item spilled upward

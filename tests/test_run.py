@@ -161,3 +161,32 @@ def test_ea_full_state_resume(tmp_path):
     assert int(s2.step) == 7
     np.testing.assert_allclose(np.asarray(s2.opt_state["m"]),
                                np.zeros(2) + 7)
+
+
+def test_abort_nonfinite_stops_gan_loop(tmp_path):
+    """RunConfig.abort_nonfinite: when a step's 'nonfinite_skips' metric
+    (train/guard.py consecutive-skip counter) exceeds the budget at a
+    stdout_interval boundary, the loop checkpoints the still-finite state
+    and raises instead of burning accelerator time on skipped updates."""
+    import pytest
+
+    def nan_step(state, batch):
+        new, m = stub_step(state, batch)
+        m["nonfinite_skips"] = state.step + 1     # ever-growing streak
+        return new, m
+
+    run = RunConfig(epochs=1, checkpoint_dir=str(tmp_path),
+                    stdout_interval=1, abort_nonfinite=2)
+    with pytest.raises(RuntimeError, match="consecutive updates"):
+        run_gan_training(nan_step, stub_state(), batches(10), run)
+    # the abort saved a checkpoint of the pre-nan params first
+    assert any(p.name.startswith("g_") for p in tmp_path.iterdir())
+
+    # under budget: the loop completes
+    def skipping_step(state, batch):
+        new, m = stub_step(state, batch)
+        m["nonfinite_skips"] = jnp.asarray(1)     # short streaks only
+        return new, m
+    run_gan_training(skipping_step, stub_state(), batches(5),
+                     RunConfig(epochs=1, checkpoint_dir=str(tmp_path),
+                               stdout_interval=1, abort_nonfinite=2))

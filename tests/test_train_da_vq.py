@@ -232,3 +232,46 @@ def test_joint_regime_codebook_moves(rng):
     assert np.isfinite(float(m["loss_gen_all"]))
     assert np.abs(np.asarray(state.vq["code_vq"]["level_0"]["k"]) - k0).max() \
         > 1e-6
+
+
+def test_joint_step_skip_nonfinite_protects_vq(rng):
+    """GANConfig.skip_nonfinite in the stateful-VQ regime: a nan batch must
+    leave the EMA codebooks (which update in-forward, outside the
+    optimizers' sight), generator params, AND discriminator params
+    untouched; the next clean batch proceeds normally."""
+    tm, tmpd, tmsd, ref, code, y = build_ref_joint(rng)
+    cg_cfg = our_cfg()
+    da_cfg = DATrainConfig(codegen=cg_cfg,
+                           gan=GANConfig(lambda_commit=0.02,
+                                         skip_nonfinite=3),
+                           mel_loss=MEL)
+    g_params, vq_tree = convert_code_generator(tm.state_dict(), cg_cfg)
+    mpd_params = convert_mpd(tmpd.state_dict())
+    msd_params, spectral = convert_msd(tmsd.state_dict())
+    step = jax.jit(make_da_step(da_cfg))
+    state = create_da_state(da_cfg, g_params, mpd_params, msd_params,
+                            spectral, vq=vq_tree)
+
+    bad_code = code.copy()
+    bad_code[0, 0, 5] = np.nan
+    bad = {"code": jnp.asarray(bad_code), "audio": jnp.asarray(y),
+           "mel_loss": mel_spectrogram(jnp.asarray(y[:, 0]), MEL)}
+    s_bad, m_bad = step(state, bad)
+    assert int(m_bad["nonfinite_skips"]) == 1
+    for name, new_t, old_t in (("vq", s_bad.vq, state.vq),
+                               ("g", s_bad.g_params, state.g_params),
+                               ("d", s_bad.d_params, state.d_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(new_t),
+                        jax.tree_util.tree_leaves(old_t)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+    good = {"code": jnp.asarray(code), "audio": jnp.asarray(y),
+            "mel_loss": mel_spectrogram(jnp.asarray(y[:, 0]), MEL)}
+    s_ok, m_ok = step(s_bad, good)
+    assert int(m_ok["nonfinite_skips"]) == 0
+    assert np.isfinite(float(m_ok["loss_gen_all"]))
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(s_ok.vq),
+                                jax.tree_util.tree_leaves(s_bad.vq)))
+    assert moved

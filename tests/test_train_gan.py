@@ -274,7 +274,7 @@ def test_disc_bf16_step_tracks_f32(rng):
 
 
 def test_gan_skip_nonfinite_optimizer_guard():
-    """GANConfig.skip_nonfinite wraps both optimizers in apply_if_finite:
+    """GANConfig.skip_nonfinite wraps both optimizers in the guard:
     nonfinite grads produce a zero update (inner moments frozen), finite
     grads apply normally — tested at the optimizer level so no GAN-step
     compile is paid."""
@@ -294,3 +294,37 @@ def test_gan_skip_nonfinite_optimizer_guard():
         upd, state = opt.update(good, state, params)
         assert float(jnp.abs(upd["conv"]).max()) > 0
         assert int(state.notfinite_count) == 0     # reset on a finite step
+
+
+def test_guard_never_accepts_nonfinite():
+    """Unlike optax.apply_if_finite (which 'gives up and accepts' after N
+    consecutive errors — applying the nan update), train/guard.py NEVER
+    applies a nonfinite update, no matter how long the streak; the budget
+    is enforced loop-side (RunConfig.abort_nonfinite)."""
+    import optax
+    from speech_inpainting_tpu.train.guard import (skip_if_nonfinite,
+                                                   tree_if_finite)
+
+    opt = skip_if_nonfinite(optax.sgd(0.1))
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    bad = {"w": jnp.array([1.0, jnp.nan, 2.0])}
+    for i in range(12):                     # far past any plausible budget
+        upd, state = opt.update(bad, state, params)
+        assert float(jnp.abs(upd["w"]).max()) == 0.0
+        assert int(state.notfinite_count) == i + 1
+    assert int(state.total_notfinite) == 12
+    upd, state = opt.update({"w": jnp.ones((3,))}, state, params)
+    assert float(jnp.abs(upd["w"]).max()) > 0
+    assert int(state.notfinite_count) == 0
+    assert int(state.total_notfinite) == 12
+
+    # tree_if_finite gates in-forward state (EMA-VQ codebooks) the same way
+    old = {"k": jnp.ones((2,)), "n": jnp.zeros(())}
+    new_bad = {"k": jnp.array([1.0, jnp.inf]), "n": jnp.ones(())}
+    kept = tree_if_finite(new_bad, old)
+    np.testing.assert_array_equal(np.asarray(kept["k"]), [1.0, 1.0])
+    assert float(kept["n"]) == 0.0          # whole tree rejected atomically
+    new_ok = {"k": jnp.full((2,), 3.0), "n": jnp.ones(())}
+    kept = tree_if_finite(new_ok, old)
+    assert float(kept["n"]) == 1.0
