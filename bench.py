@@ -146,7 +146,7 @@ def main():
     # phantom regression when the tunnel is busy. The per-iteration force
     # above pays that cost inside every measurement; that synced number is
     # the per-batch LATENCY, kept alongside.
-    from speech_inpainting_tpu.utils.timing import differenced_time
+    from speech_inpainting_tpu.utils.timing import differenced_or_fallback
 
     def pipelined_per_batch(call, fallback_s):
         """Differenced per-batch seconds; falls back to the synced number
@@ -158,8 +158,7 @@ def main():
                 out = call()
             force(out)
             return time.perf_counter() - t0
-        dt = differenced_time(window)
-        return (fallback_s, False) if dt is None else (dt, True)
+        return differenced_or_fallback(window, fallback_s)
 
     per_batch, measured = pipelined_per_batch(
         lambda: inp.batch(wav22, wav16, mask_pos, lens), best)
@@ -175,9 +174,14 @@ def main():
     inp_fast = InformedInpainter(InpainterConfig(hubert=hcfg, hifigan=gcfg),
                                  hp, igp, centroids, generator=igen)
     out2 = force(inp_fast.batch(wav22, wav16, mask_pos, lens))   # compile
-    t0 = time.perf_counter()
-    force(inp_fast.batch(wav22, wav16, mask_pos, lens))
-    fast_synced = time.perf_counter() - t0
+    # fallback must be min-of-several synced samples (like the V1 path's
+    # `best`): congestion both triggers the fallback and inflates single
+    # samples, so one sample could record a phantom ~60x regression
+    fast_synced = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(inp_fast.batch(wav22, wav16, mask_pos, lens))
+        fast_synced = min(fast_synced, time.perf_counter() - t0)
     per_batch2, measured2 = pipelined_per_batch(
         lambda: inp_fast.batch(wav22, wav16, mask_pos, lens), fast_synced)
     rtf2 = B * out2["inpainted"].shape[-1] / 22050.0 / per_batch2

@@ -59,9 +59,8 @@ def pipelined_step_time(run_window, fallback_s, n1: int = 5, n2: int = 35):
     so the recorded number can't inherit a phantom regression from tunnel
     load). Falls back to the per-step-synced measurement — never divides a
     noise-clamped delta — returning (seconds, differenced?)."""
-    from speech_inpainting_tpu.utils.timing import differenced_time
-    dt = differenced_time(run_window, n1=n1, n2=n2)
-    return (fallback_s, False) if dt is None else (dt, True)
+    from speech_inpainting_tpu.utils.timing import differenced_or_fallback
+    return differenced_or_fallback(run_window, fallback_s, n1=n1, n2=n2)
 
 
 def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,

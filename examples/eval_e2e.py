@@ -269,23 +269,27 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     train22 = augment_wavs({n: wavs22[n] for n in names})
     train16 = augment_wavs({n: wavs16[n] for n in names})
 
-    # frame-aligned labels for each training copy
-    labels = {name: np.asarray(assign(
-        jnp.asarray(np.asarray(mel_spectrogram(
-            jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
-        jnp.asarray(centroids))) for name, w in train22.items()}
-
     B, F = 8, 150                    # 3 s crops, 150 frames
     T = F * 320
     rng = np.random.default_rng(1)
-    # drop copies too short for the crop (a fast augmentation rate shrinks
-    # the wav; rng.integers(0, max_f<=0) would raise mid-training otherwise)
-    names = [n for n in train16
-             if min(len(train16[n]) // 320, len(labels[n])) > F]
+    # drop copies too short for the crop FIRST (a fast augmentation rate
+    # shrinks the wav; rng.integers(0, max_f<=0) would raise mid-training)
+    # — labels are only computed for the survivors, not paid then discarded
+    names = [n for n in train16 if len(train16[n]) // 320 > F]
     assert names, f"every training copy is shorter than the {F}-frame crop"
     if len(names) < len(train16):
         print(f"ea: dropped {len(train16) - len(names)} augmented copies "
               f"shorter than the {F}-frame crop")
+
+    # frame-aligned labels for each surviving training copy
+    labels = {name: np.asarray(assign(
+        jnp.asarray(np.asarray(mel_spectrogram(
+            jnp.asarray(train22[name]), HUBERT_ALIGNED_MEL_22K)).T),
+        jnp.asarray(centroids))) for name in names}
+    # the 22k mel can yield a frame or two fewer than len(wav16)//320 on
+    # rounding edges — re-apply the guard against the actual label counts
+    names = [n for n in names if len(labels[n]) > F]
+    assert names, f"every training copy is shorter than the {F}-frame crop"
 
     def batch():
         wav = np.zeros((B, T), np.float32)

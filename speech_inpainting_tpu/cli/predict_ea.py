@@ -99,7 +99,9 @@ def parse_mask_spans(start_sec, end_sec, masks):
     for s in masks or []:
         a, _, b = s.partition("-")
         spans.append((float(a), float(b)))
-    if start_sec is not None and end_sec is not None:
+    if (start_sec is None) != (end_sec is None):
+        raise ValueError("--start-sec and --end-sec must be given together")
+    if start_sec is not None:
         spans.append((start_sec, end_sec))
     if not spans:
         raise ValueError("give --start-sec/--end-sec or at least one --mask")
@@ -157,8 +159,13 @@ def main(argv=None):
         from ..infer.longform import LongFormConfig, LongFormInpainter
         cfg = LongFormConfig(window_frames=max(int(args.window_sec * 50), 16),
                              batch=args.batch)
-        out, spans = LongFormInpainter(inp, cfg)(wav22, wav16,
-                                                 pos_arr, len_arr)
+        try:
+            out, spans = LongFormInpainter(inp, cfg)(wav22, wav16,
+                                                     pos_arr, len_arr)
+        except ValueError as e:
+            # e.g. mask longer than the window capacity — surface as a CLI
+            # error pointing at --window-sec, not a raw traceback
+            p.error(f"{e} (try a larger --window-sec)")
         masked = wav22.copy()
         for q, n in zip(pos_arr, len_arr):
             masked[q * 441:(q + n) * 441] = 0.0

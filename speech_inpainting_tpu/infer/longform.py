@@ -85,13 +85,39 @@ def plan_windows(total_frames: int, mask_pos, mask_len, window_frames: int,
     return win_start.astype(np.int64), rel.astype(np.int64)
 
 
+def merge_mask_spans(mask_pos, mask_len, *, gap_frames: int = 2):
+    """Coalesce masks whose spans touch or sit within `gap_frames` of each
+    other into single spans. Two reasons (both bite with multi-mask
+    long-form inputs): (a) each window's paste covers a 1-frame margin
+    around its mask, so adjacent masks' patches would overwrite each
+    other's inpainted output; (b) a 400 ms dropout split into two --mask
+    flags should behave like one mask, not two half-informed ones."""
+    pos = np.asarray(mask_pos, np.int64)
+    ln = np.asarray(mask_len, np.int64)
+    if len(pos) <= 1:
+        return pos, ln
+    o = np.argsort(pos)
+    pos, ln = pos[o], ln[o]
+    out_p, out_l = [int(pos[0])], [int(ln[0])]
+    for p, l in zip(pos[1:], ln[1:]):
+        if p <= out_p[-1] + out_l[-1] + gap_frames:
+            out_l[-1] = max(out_p[-1] + out_l[-1], int(p + l)) - out_p[-1]
+        else:
+            out_p.append(int(p))
+            out_l.append(int(l))
+    return np.asarray(out_p, np.int64), np.asarray(out_l, np.int64)
+
+
 def _crossfade_paste(y: np.ndarray, patch: np.ndarray, start: int,
-                     fade: int) -> None:
+                     fade: int, *, fade_in: bool = True,
+                     fade_out: bool = True) -> None:
     """In-place paste of `patch` at y[start:start+len(patch)] with
     complementary linear ramps over the first/last `fade` samples (both
     signals live across the fade — no energy dip, unlike the ASR baseline's
     mask-bounded paste in ops/dsp.py:crossfade_paste which mirrors
-    predict_asr.py:215-231)."""
+    predict_asr.py:215-231). fade_in/fade_out=False suppresses a ramp —
+    used when the patch has no clean margin on that side (mask at the
+    recording edge), where ramping would mix corrupted samples back in."""
     n = len(patch)
     lo, hi = max(start, 0), min(start + n, len(y))
     if hi <= lo:
@@ -101,8 +127,10 @@ def _crossfade_paste(y: np.ndarray, patch: np.ndarray, start: int,
     f = min(fade, n // 2)
     if f > 0:
         ramp = np.linspace(0.0, 1.0, f + 2)[1:-1]
-        w[:f] = ramp
-        w[-f:] = ramp[::-1]
+        if fade_in:
+            w[:f] = ramp
+        if fade_out:
+            w[-f:] = ramp[::-1]
     w = w[lo - start:hi - start]
     y[lo:hi] = (y[lo:hi] * (1.0 - w) + seg * w).astype(y.dtype)
 
@@ -140,10 +168,12 @@ class LongFormInpainter:
         padded = max(total + mg, Wf)
         wav22 = np.pad(wav22, (0, max(padded * S22 - len(wav22), 0)))
         wav16 = np.pad(wav16, (0, max(padded * S16 - len(wav16), 0)))
-        win_start, rel = plan_windows(padded, mask_pos, mask_len, Wf, mg)
         if np.any(np.asarray(mask_pos) + np.asarray(mask_len) > total):
             raise ValueError("mask spans must lie inside the recording")
-        mask_len = np.asarray(mask_len, np.int64)
+        # near-adjacent masks coalesce so their paste margins can't
+        # overwrite each other's inpainted output (see merge_mask_spans)
+        mask_pos, mask_len = merge_mask_spans(mask_pos, mask_len)
+        win_start, rel = plan_windows(padded, mask_pos, mask_len, Wf, mg)
         M, B = len(win_start), cfg.batch
 
         def window_batch(i0):
@@ -152,6 +182,19 @@ class LongFormInpainter:
                                   (win_start[i] + Wf) * S22] for i in idx])
             w16 = np.stack([wav16[win_start[i] * S16:
                                   (win_start[i] + Wf) * S16] for i in idx])
+            # OTHER masks' spans are corrupt too — zero any that intersect
+            # this window so they are never fed to HuBERT/the vocoder as
+            # clean context (the graph zeroes only the window's OWN span)
+            for j, i in enumerate(idx):
+                for k in range(M):
+                    if k == i:
+                        continue
+                    a = max(int(mask_pos[k]) - int(win_start[i]), 0)
+                    b = min(int(mask_pos[k] + mask_len[k])
+                            - int(win_start[i]), Wf)
+                    if b > a:
+                        w22[j, a * S22:b * S22] = 0.0
+                        w16[j, a * S16:b * S16] = 0.0
             # inverse of the graph's peak_normalize on the MASKED window
             gains = []
             for j, i in enumerate(idx):
@@ -173,11 +216,16 @@ class LongFormInpainter:
                 i = i0 + j
                 if i >= M:
                     break
-                a = int((rel[i] - min(rel[i], 1)) * S22)   # ≤1 frame margin
-                b = int(min((rel[i] + mask_len[i] + 1) * S22, done.shape[1]))
+                lead = int(min(rel[i], 1))                 # ≤1 frame margin
+                a = int((rel[i] - lead) * S22)
+                b_full = int((rel[i] + mask_len[i] + 1) * S22)
+                b = min(b_full, done.shape[1])
                 patch = done[j, a:b].astype(np.float64) * gains[j]
                 start = int(win_start[i] * S22 + a)
-                _crossfade_paste(out, patch, start, fade)
+                # no clean margin on a side -> no ramp there (a ramp would
+                # mix the corrupted original back into the mask span)
+                _crossfade_paste(out, patch, start, fade,
+                                 fade_in=lead > 0, fade_out=b == b_full)
                 spans.append((start, min(start + (b - a), len(out))))
 
         starts = list(range(0, M, B))
@@ -193,4 +241,5 @@ class LongFormInpainter:
         return out, spans
 
 
-__all__ = ["LongFormConfig", "LongFormInpainter", "plan_windows"]
+__all__ = ["LongFormConfig", "LongFormInpainter", "merge_mask_spans",
+           "plan_windows"]

@@ -141,6 +141,13 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
     integration-test compiles tractable; production uses the defaults).
     """
     ddt = jnp.bfloat16 if cfg.disc_bf16 else jnp.float32
+    if (mpd is not None or msd is not None) and (cfg.disc_bf16
+                                                 or cfg.folded_mpd):
+        # module overrides carry their own dtype/layout — applying the
+        # config flags silently to NOTHING would fake a null ablation
+        raise ValueError("disc_bf16/folded_mpd have no effect on mpd/msd "
+                         "module overrides; construct the overrides with "
+                         "the desired dtype/fold_periods instead")
     mpd = mpd or MultiPeriodDiscriminator(fold_periods=cfg.folded_mpd,
                                           dtype=ddt)
     msd = msd or MultiScaleDiscriminator(dtype=ddt)

@@ -59,3 +59,17 @@ def differenced_time(run_window: Callable[[int], float], n1: int = 2,
         if 0.0 < dt <= t1 / n1:
             return dt
     return None
+
+
+def differenced_or_fallback(run_window: Callable[[int], float],
+                            fallback_s: float, **kw):
+    """(per-iteration seconds, differenced?) — `differenced_time` with an
+    explicit fallback instead of None. The single shared fallback policy
+    for bench.py / bench_train.py: never divide a noise-clamped delta;
+    report the fallback and mark it (differenced=False) so a congested
+    round can't masquerade as a measured regression. The fallback itself
+    must be a min-of-several synced samples, not a single one — congestion
+    is exactly the condition that both triggers the fallback and inflates
+    single samples."""
+    dt = differenced_time(run_window, **kw)
+    return (fallback_s, False) if dt is None else (dt, True)

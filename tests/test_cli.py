@@ -244,3 +244,12 @@ def test_vocode_quantize_mel_demo(tmp_path, rng, monkeypatch):
                  "--checkpoint", "unused", "--out", str(out),
                  "--quantize-mel", str(model), "--quantize-span", "5:10"])
     assert (out / "p0_u_generated_quantized.wav").exists()
+
+
+def test_predict_ea_half_specified_span_errors():
+    import pytest
+    from speech_inpainting_tpu.cli.predict_ea import parse_mask_spans
+    with pytest.raises(ValueError, match="together"):
+        parse_mask_spans(1.0, None, ["2.0-2.2"])   # forgot --end-sec
+    with pytest.raises(ValueError, match="together"):
+        parse_mask_spans(None, 2.0, None)

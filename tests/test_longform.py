@@ -132,3 +132,63 @@ def test_longform_short_recording_and_scale_restore(tiny):
     assert out.shape == w22.shape
     a, b = spans[0]
     assert np.abs(out[a:b]).max() < 10 * np.abs(w22).max()
+
+
+def test_merge_mask_spans():
+    from speech_inpainting_tpu.infer.longform import merge_mask_spans
+    # adjacent and near-adjacent (gap <= 2) coalesce; distant stay apart
+    pos, ln = merge_mask_spans([100, 104, 120], [4, 4, 5])
+    assert pos.tolist() == [100, 120] and ln.tolist() == [8, 5]
+    # unsorted input, containment, exact-gap boundary
+    pos, ln = merge_mask_spans([50, 10, 12], [5, 10, 3])
+    assert pos.tolist() == [10, 50] and ln.tolist() == [10, 5]
+    pos, ln = merge_mask_spans([10, 23], [10, 2])   # gap 3 > 2: no merge
+    assert pos.tolist() == [10, 23]
+    pos, ln = merge_mask_spans([10, 22], [10, 2])   # gap 2: merges
+    assert pos.tolist() == [10] and ln.tolist() == [14]
+    p, l = merge_mask_spans([7], [3])
+    assert p.tolist() == [7] and l.tolist() == [3]
+
+
+def test_longform_multimask_window_context_zeroed(tiny):
+    """Two masks far enough apart not to merge but close enough to share a
+    window: each window must see the OTHER mask's span zeroed (it is
+    corrupt audio, not clean context), and both spans must end up
+    inpainted — neither patch overwrites the other with resynthesized
+    corruption. Guarded indirectly: output inside both spans differs from
+    the corrupt original, and outside both patches it is untouched."""
+    rng = np.random.default_rng(5)
+    total = 96
+    w22, w16 = _long_wavs(rng, total)
+    # corrupt the two mask spans with loud noise so 'copied-through
+    # corruption' is detectable
+    for q, n in ((40, 4), (50, 4)):
+        w22[q * S22:(q + n) * S22] = rng.standard_normal(n * S22) * 0.9
+        w16[q * S16:(q + n) * S16] = rng.standard_normal(n * S16) * 0.9
+    cfg = LongFormConfig(window_frames=32, batch=2, depth=2, margin_frames=2)
+    out, spans = LongFormInpainter(tiny, cfg)(
+        w22, w16, np.array([40, 50]), np.array([4, 4]))
+    assert len(spans) == 2
+    for q, n in ((40, 4), (50, 4)):
+        a, b = (q + 1) * S22, (q + n - 1) * S22   # interior, past any fade
+        seg_out, seg_in = out[a:b], w22[a:b]
+        # the corrupt original must NOT survive inside the mask
+        assert np.abs(seg_out - seg_in).max() > 1e-3
+        # and the inpainted level is sane (not the 0.9-RMS noise burst)
+        assert np.sqrt((seg_out**2).mean()) < np.sqrt((seg_in**2).mean())
+    untouched = np.ones(len(out), bool)
+    for a, b in spans:
+        untouched[a:b] = False
+    np.testing.assert_array_equal(out[untouched], w22[untouched])
+
+
+def test_crossfade_paste_asymmetric_fades():
+    y = np.zeros(1000, np.float32)
+    _crossfade_paste(y, np.ones(300, np.float64), 0, fade=20, fade_in=False)
+    np.testing.assert_allclose(y[:280], 1.0)      # no fade-in ramp
+    assert 0 < y[295] < 1                          # fade-out still present
+    y2 = np.zeros(1000, np.float32)
+    _crossfade_paste(y2, np.ones(300, np.float64), 700, fade=20,
+                     fade_out=False)
+    assert 0 < y2[705] < 1
+    np.testing.assert_allclose(y2[720:1000], 1.0)  # no fade-out ramp

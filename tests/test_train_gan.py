@@ -328,3 +328,17 @@ def test_guard_never_accepts_nonfinite():
     new_ok = {"k": jnp.full((2,), 3.0), "n": jnp.ones(())}
     kept = tree_if_finite(new_ok, old)
     assert float(kept["n"]) == 1.0
+
+
+def test_disc_overrides_reject_config_dtype_flags():
+    """disc_bf16/folded_mpd cannot apply to pre-built mpd/msd overrides —
+    silently ignoring them would fake a null ablation, so construction
+    fails loudly."""
+    import pytest
+    from speech_inpainting_tpu.models.hifigan import MultiPeriodDiscriminator
+    from speech_inpainting_tpu.train.gan import make_gan_step
+
+    with pytest.raises(ValueError, match="overrides"):
+        make_gan_step(lambda gp, b: None, lambda y: y,
+                      GANConfig(disc_bf16=True),
+                      mpd=MultiPeriodDiscriminator(periods=(2,)))

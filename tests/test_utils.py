@@ -181,3 +181,19 @@ def test_persistent_cache_is_machine_keyed(tmp_path):
     assert os.path.isdir(path)
     # restore the suite-wide cache dir for subsequent tests
     enable_persistent_cache()
+
+
+def test_differenced_or_fallback():
+    """The shared fallback policy for bench.py/bench_train.py: credible
+    delta -> (delta, True); congestion-clamped delta -> (fallback, False)."""
+    from speech_inpainting_tpu.utils.timing import differenced_or_fallback
+
+    t_per, const = 0.01, 5.0
+    good = lambda n: const + n * t_per
+    dt, ok = differenced_or_fallback(good, 99.0)
+    assert ok and abs(dt - t_per) < 1e-9
+    # negative delta (noise) on every attempt -> fallback, marked
+    calls = iter([10.0, 9.0] * 40)
+    bad = lambda n: next(calls)
+    dt, ok = differenced_or_fallback(bad, 0.5, n1=2, n2=12)
+    assert not ok and dt == 0.5
