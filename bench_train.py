@@ -25,16 +25,19 @@ PEAK_FLOPS = {"bf16": 197e12, "f32": 98e12}
 PEAK_HBM = 819e9
 
 
-def roofline_floors(jitted, state, batch, flops_key, pipe, best):
+def roofline_floors(compiled, flops_key, pipe, best):
     """Whole-step XLA cost analysis -> compute/memory floors (the same
     accounting CLAUDE.md records for the serving graph; VERDICT r2 #3).
-    Reuses the already-jitted step so no second compile is paid.
+    Takes the AOT-compiled executable the bench already stepped with, so
+    the analysis truly reuses the one compile (jit.lower().compile() does
+    NOT hit the jit's executable cache — it recompiles, ~9-30 min for the
+    GAN step on this tunnel without the persistent cache).
     `flops_key` picks the MXU peak for the compute floor — it must be
     "bf16" whenever ANY matmul/conv in the step runs bf16 (e.g. f32
     params + disc_bf16): floors are LOWER bounds, and dividing
     bf16-executed flops by the f32 peak would overstate the floor and
     inflate pct_of_roofline."""
-    cost = jitted.lower(state, batch).compile().cost_analysis()
+    cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
     flops = float(cost.get("flops", 0.0))
@@ -99,11 +102,13 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(cfg.gan, gp, dp, sv["params"], sv["spectral"])
-    jstep = jax.jit(make_vanilla_step(
-        cfg, generator=gen if family == "istft" else None))
     batch = {"audio": y}
-
     t0 = time.perf_counter()
+    # AOT-compile once; the same executable serves stepping AND the
+    # roofline cost analysis (no hidden second compile)
+    jstep = jax.jit(make_vanilla_step(
+        cfg, generator=gen if family == "istft" else None)).lower(
+            state, batch).compile()
     state, m = jstep(state, batch)
     force(m)
     compile_s = time.perf_counter() - t0
@@ -147,7 +152,7 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     }
     if roofline:
         flops_key = "bf16" if (key == "bf16" or disc_bf16) else "f32"
-        out["roofline"] = roofline_floors(jstep, state, batch, flops_key,
+        out["roofline"] = roofline_floors(jstep, flops_key,
                                           pipe, best)
     print(json.dumps(out))
     return out
@@ -170,7 +175,7 @@ def bench_ea(dtype, iters: int = 5, roofline: bool = False):
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
     state = create_state(cfg, params)
     centroids = rng.standard_normal((100, 80)).astype(np.float32)
-    step = jax.jit(make_train_step(model, cfg, centroids))
+    step_fn = make_train_step(model, cfg, centroids)
     n_frames = int(hcfg.feature_lengths(np.array([T]))[0])
     batch = {
         "wav": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
@@ -181,6 +186,8 @@ def bench_ea(dtype, iters: int = 5, roofline: bool = False):
                               jnp.int32),
     }
     t0 = time.perf_counter()
+    # AOT-compile once; reused for stepping and the roofline analysis
+    step = jax.jit(step_fn).lower(state, batch).compile()
     state, m = step(state, batch)
     force(m)
     compile_s = time.perf_counter() - t0
@@ -213,7 +220,7 @@ def bench_ea(dtype, iters: int = 5, roofline: bool = False):
         "compile_seconds": round(compile_s, 1),
     }
     if roofline:
-        out["roofline"] = roofline_floors(step, state, batch, key, pipe, best)
+        out["roofline"] = roofline_floors(step, key, pipe, best)
     print(json.dumps(out))
     return out
 

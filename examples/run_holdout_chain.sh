@@ -7,6 +7,13 @@
 # Usage: run_holdout_chain.sh <main_pid> <repo_root>
 set -x
 MAIN_PID=$1
+case "$MAIN_PID" in
+  ''|*[!0-9]*)
+    # an empty/garbled PID would make the wait gate pass instantly and
+    # launch a second TPU client alongside the main run (one-client rule)
+    echo "usage: $0 <main_pid> [repo_root] - main_pid must be numeric" >&2
+    exit 2;;
+esac
 REPO=${2:-/root/repo}
 cd "$REPO" || exit 1
 

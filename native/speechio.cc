@@ -398,7 +398,12 @@ int decode_flac(const char* path, std::vector<float>* out, int* sr_out) {
       sample_rate = br.bits(20);
       channels = static_cast<int>(br.bits(3)) + 1;
       bps = static_cast<int>(br.bits(5)) + 1;
-      total_samples = (static_cast<uint64_t>(br.bits(4)) << 32) | br.bits(32);
+      // sequence the two reads: operands of '|' are unsequenced in C++,
+      // so a right-to-left compiler would consume the 32-bit field first
+      {
+        const uint64_t ts_hi = br.bits(4);
+        total_samples = (ts_hi << 32) | br.bits(32);
+      }
       have_info = true;
     }
     pos += blen;
@@ -554,8 +559,10 @@ int si_flac_info(const char* path, int* sr, int64_t* frames) {
   *sr = static_cast<int>(br.bits(20));
   br.bits(3);  // channels - 1
   br.bits(5);  // bps - 1
-  *frames = static_cast<int64_t>((static_cast<uint64_t>(br.bits(4)) << 32) |
-                                 br.bits(32));
+  {
+    const uint64_t fr_hi = br.bits(4);  // sequenced: '|' operands are not
+    *frames = static_cast<int64_t>((fr_hi << 32) | br.bits(32));
+  }
   return *sr > 0 ? 0 : kErrFormat;
 }
 

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def device_prefetch(batches: Iterable, *, size: int = 2,
-                    mesh: Optional[Mesh] = None, axis: str = "dp"
+                    mesh: Optional[Mesh] = None, axis: Optional[str] = None
                     ) -> Iterator:
     """Iterate `batches`, staging each onto the device ahead of use.
 
@@ -30,7 +30,9 @@ def device_prefetch(batches: Iterable, *, size: int = 2,
     """
     if mesh is not None:
         from ..parallel.distributed import shard_host_batch
-        put = lambda b: shard_host_batch(mesh, b, P(axis))
+        from ..parallel.mesh import data_spec
+        spec = P(axis) if axis is not None else data_spec(mesh)
+        put = lambda b: shard_host_batch(mesh, b, spec)
     else:
         put = lambda b: jax.tree_util.tree_map(jax.device_put, b)
 

@@ -150,18 +150,30 @@ class UnitResynthTTS:
     VAD→DTW→WSOLA→paste chain is exercised for real.
 
     Matches the `tts(text, speaker_wav) -> wav` slot of asr_tts_baseline:
-    pass the donor recording as `transcript`/text.
+    pass the donor recording as `transcript`/text. Speaker precedence:
+    a fixed constructor `emb` wins; otherwise `speaker_wav` is embedded
+    per call when an `embedder` was supplied; otherwise the CodeGenerator
+    runs with its default/`spkr` conditioning.
     """
 
-    def __init__(self, ida_inpainter, *, emb=None, spkr=None):
-        """emb/spkr: the speaker conditioning forwarded to the CodeGenerator
-        (the reference conditions its TTS on speaker wavs the same way)."""
+    def __init__(self, ida_inpainter, *, emb=None, spkr=None, embedder=None):
+        """emb/spkr: fixed speaker conditioning forwarded to the
+        CodeGenerator. embedder: optional `embed(wav, sr) -> d-vector`
+        (data.code_dataset.torchscript_embedder or mel_stats_embedder) used
+        to derive `emb` from the per-call speaker_wav when no fixed emb is
+        given — the reference conditions its TTS on speaker wavs the same
+        way (predict_asr.py:44-52)."""
         self._inp = ida_inpainter
         self._emb = emb
         self._spkr = spkr
+        self._embedder = embedder
 
     def __call__(self, donor_wav, speaker_wav=None):
         import numpy as np
+        emb = self._emb
+        if emb is None and speaker_wav is not None and \
+                self._embedder is not None:
+            emb = self._embedder(np.asarray(speaker_wav, np.float32), 16000)
         out = self._inp(np.asarray(donor_wav, np.float32), mask_size=0,
-                        emb=self._emb, spkr=self._spkr)
+                        emb=emb, spkr=self._spkr)
         return out["audio_gen"]

@@ -142,6 +142,10 @@ def make_hybrid_mesh(ici_axes: Sequence[tuple] = (("ici", -1),),
     """('dcn', *ici) mesh: the slow axis spans slices/hosts (DCN), the fast
     axes stay inside a slice (ICI) — shard batch over 'dcn'×'ici' for pure
     data parallel, or keep model axes on ici only (SURVEY.md §5.8 plan).
+    Directly consumable as RunConfig.mesh: the training loops shard the
+    batch dim over every axis of a mesh without a 'dp' axis
+    (parallel.mesh.data_spec), so the pod layout needs no hand-written
+    specs (tested: test_run_mesh hybrid-mesh case).
 
     Groups devices by slice_index when the backend reports one (multi-slice
     TPU), else by process_index (CPU/multi-host single-slice) — one group

@@ -36,17 +36,31 @@ def make_mesh(axes: Sequence[tuple] = (("dp", -1),),
     return Mesh(arr, tuple(names))
 
 
-def data_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
-    """Shard the leading (batch) dim over `axis`, replicate the rest."""
-    return NamedSharding(mesh, P(axis))
+def data_spec(mesh: Mesh) -> P:
+    """The batch-dim PartitionSpec for data parallelism on `mesh`:
+    P('dp') when a 'dp' axis exists (possibly alongside 'tp' etc.), else
+    the batch dim shards jointly over EVERY axis — which makes the
+    ('dcn','ici') hybrid pod mesh (make_hybrid_mesh) consumable by the
+    training loops, not just by hand-written specs."""
+    if "dp" in mesh.axis_names:
+        return P("dp")
+    return P(mesh.axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = None) -> NamedSharding:
+    """Shard the leading (batch) dim, replicate the rest. axis=None picks
+    the mesh's natural data layout (data_spec)."""
+    return NamedSharding(mesh, P(axis) if axis is not None else
+                         data_spec(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
-    """Place a host pytree of arrays with the batch dim sharded over `axis`."""
+def shard_batch(mesh: Mesh, batch, axis: str = None):
+    """Place a host pytree of arrays with the batch dim sharded over `axis`
+    (None -> the mesh's natural data layout, see data_spec)."""
     s = data_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 

@@ -80,9 +80,19 @@ def _mesh_jit(step_fn: Callable, run: RunConfig):
     (the DDP loop this replaces, I_ea/hifi_gan/train.py:44-106). Returns
     (jitted_step, place_state)."""
     if run.mesh is None:
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "multi-process runtime with RunConfig.mesh=None: each "
+                "process would silently train a divergent model (no "
+                "gradient reduction). Build a global mesh "
+                "(parallel.mesh.make_mesh / make_hybrid_mesh) and set "
+                "RunConfig.mesh — the CLIs do this via --mesh.")
         return jax.jit(step_fn), lambda s: s
+    from ..parallel.mesh import data_spec
     repl = NamedSharding(run.mesh, PartitionSpec())
-    data = NamedSharding(run.mesh, PartitionSpec("dp"))
+    # P('dp') when the mesh has one; otherwise the batch dim shards over
+    # every axis, which makes the ('dcn','ici') hybrid mesh trainable
+    data = NamedSharding(run.mesh, data_spec(run.mesh))
     jstep = jax.jit(step_fn, in_shardings=(repl, data),
                     out_shardings=(repl, repl))
     # shard_host_batch handles the multi-process (non-addressable-device)
@@ -209,7 +219,16 @@ def run_ea_training(step_fn: Callable, eval_fn: Callable, state,
                 if steps % run.checkpoint_interval == 0 and coord:
                     ckpt.save("ea_", steps, state)
                 if steps % run.validation_interval == 0:
-                    vals = [eval_fn(state.params, vb)
+                    # with a mesh, params are global (possibly spanning
+                    # non-addressable devices in multi-host) — the raw host
+                    # batch must be placed on the SAME mesh (replicated;
+                    # valid batches are tiny and identical on every
+                    # process) or the jit dies mixing incompatible devices
+                    vb_place = (
+                        (lambda b: shard_host_batch(run.mesh, b,
+                                                    PartitionSpec()))
+                        if run.mesh is not None else (lambda b: b))
+                    vals = [eval_fn(state.params, vb_place(vb))
                             for vb in make_valid_batches(epoch)]
                     if vals:
                         mean = {k: float(np.mean([float(v[k]) for v in vals]))

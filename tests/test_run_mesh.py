@@ -146,3 +146,47 @@ def test_run_ea_training_mesh_equals_single(tmp_path, rng):
             jax.tree_util.tree_leaves_with_path(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol,
                                    err_msg=str(ka))
+
+
+def test_run_ea_training_hybrid_mesh_and_mesh_validation(tmp_path, rng):
+    """(a) A ('dcn','ici') hybrid mesh with NO 'dp' axis is trainable by the
+    runners (data_spec shards the batch dim over every axis) — previously
+    _mesh_jit hardcoded P('dp') and the documented pod recipe was dead on
+    arrival. (b) The validation sweep places its host batches on the SAME
+    mesh as the global params (run.py vb_place) — an eval_fn jitted bare
+    must still work mid-mesh-run."""
+    hcfg = HubertConfig(conv_dim=(16,) * 7, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, num_conv_pos_embeddings=15,
+                        num_conv_pos_embedding_groups=1)
+    model = EncoderWithHead(hcfg, out_dim=80)
+    cfg = EAConfig(mask_length=2)
+    B, T = 8, 3200
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T)))["params"]
+    centroids = rng.standard_normal((10, 80)).astype(np.float32)
+    step = make_train_step(model, cfg, centroids)
+    from speech_inpainting_tpu.train.ea import eval_step
+    ev = eval_step(model, cfg, centroids)
+    n_frames = int(hcfg.feature_lengths(np.array([T]))[0])
+
+    def mk(b):
+        return {
+            "wav": rng.standard_normal((b, T)).astype(np.float32),
+            "attn_mask": np.ones((b, T), np.int32),
+            "mask_pos": rng.integers(0, n_frames - cfg.mask_length,
+                                     b).astype(np.int32),
+            "labels": rng.integers(0, 10,
+                                   (b, cfg.mask_length)).astype(np.int32),
+        }
+
+    batch = mk(B)
+    mesh = make_mesh((("dcn", 2), ("ici", 4)), devices=jax.devices()[:8])
+    assert "dp" not in mesh.axis_names
+    run = RunConfig(epochs=1, checkpoint_dir=str(tmp_path),
+                    validation_interval=2, stdout_interval=100, mesh=mesh)
+    s = run_ea_training(step, ev, create_state(cfg, params),
+                        lambda epoch: iter([batch, batch]),
+                        lambda epoch: iter([mk(2)]), run)
+    assert int(s.step) == 2
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(s.params))
