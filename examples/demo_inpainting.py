@@ -76,9 +76,7 @@ def main():
         gen = Generator(gcfg)
         gp = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 80, 8)))["params"]
     if args.kmeans:
-        km = (KMeans.load_joblib(args.kmeans)
-              if args.kmeans.endswith((".km", ".bin"))
-              else KMeans.load(args.kmeans))
+        km = KMeans.load_auto(args.kmeans)
         centroids = km.centroids
     else:
         print("no --kmeans: fitting a codebook on this utterance's mel")
