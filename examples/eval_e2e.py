@@ -165,7 +165,7 @@ def stage_kmeans(out, wavs22):
     _save(out / "centroids.pkl", centroids)
 
 
-def stage_hifigan(out, wavs22, steps):
+def stage_hifigan(out, wavs22, steps, extend=False):
     """Modified decoder fine-tune regime, from scratch: random 44288-sample
     crops, in-graph centroid substitution of a random 20-frame span
     (train_modified.py semantics, segment 44288 / mask_len 20).
@@ -174,7 +174,13 @@ def stage_hifigan(out, wavs22, steps):
     equal-recipe quality ceiling) trained on pitch/speed-augmented copies —
     the two levers VERDICT r2 #2 names for lifting the vocoder floor above
     the regime where mask-length degradation is visible. Discriminators run
-    batched (real+fake as one 2B forward — bit-identical, faster)."""
+    batched (real+fake as one 2B forward — bit-identical, faster).
+
+    With ``extend``, restores the FULL GAN state (generator, discriminators,
+    optimizers, step — the train_modified.py g_/do_ resume semantics,
+    reference I_ea/hifi_gan/train.py:62-80) from ``hifigan_state.pkl`` and
+    trains ``steps`` more, so successive eval rounds can deepen the vocoder
+    without repaying the from-scratch schedule."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hifigan import (
@@ -198,10 +204,18 @@ def stage_hifigan(out, wavs22, steps):
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
+    if extend and (out / "hifigan_state.pkl").exists():
+        state = _load(out / "hifigan_state.pkl")
+        print(f"hifigan: extending from step {int(state.step)}")
+    elif extend and (out / "hifigan_g.pkl").exists():
+        # generator-only warm start with fresh discriminators — the
+        # reference's --warm-start recipe (train_modified.py:72-93)
+        state = state.replace(g_params=_load(out / "hifigan_g.pkl"))
+        print("hifigan: warm-starting generator only (no full state saved)")
     step = jax.jit(make_modified_step(tcfg, centroids, generator=gen))
 
     cat = np.concatenate(list(augment_wavs(wavs22).values()))
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(int(state.step))  # fresh crops on extend
     n441 = tcfg.mel_441.num_frames(seg)
 
     def batch():
@@ -224,8 +238,9 @@ def stage_hifigan(out, wavs22, steps):
                   f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
     force(m)
     print(f"hifigan: mel_error {m0:.3f} -> {float(m['mel_error']):.3f} "
-          f"in {steps} steps")
+          f"in {steps} steps (total {int(state.step)})")
     _save(out / "hifigan_g.pkl", state.g_params)
+    _save(out / "hifigan_state.pkl", state)
 
 
 def stage_ea(out, wavs22, wavs16, steps, holdout=None):
@@ -462,7 +477,7 @@ def stage_f0vq(out, wavs16, steps):
     _save(out / "f0vq.pkl", {"params": state.params, "vq": state.vq})
 
 
-def stage_da(out, wavs16, steps):
+def stage_da(out, wavs16, steps, extend=False):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
     trained content units + frozen f0-VQVAE pitch units -> waveform.
 
@@ -470,7 +485,11 @@ def stage_da(out, wavs16, steps):
     — the lever that lifts the held-out table above the one-utterance
     decoder's generalization floor (STATUS r3 known-gaps): I_da
     resynthesizes the ENTIRE waveform from units, so decoder overfit to a
-    single utterance degrades every held-out score."""
+    single utterance degrades every held-out score.
+
+    With ``extend``, restores the full GAN state from ``da_state.pkl``
+    (same g_/do_ resume semantics as stage_hifigan) and trains ``steps``
+    more."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.codegen import CodeGenerator
@@ -521,9 +540,15 @@ def stage_da(out, wavs16, steps):
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(gan, g_params, dp, sv["params"], sv["spectral"])
+    if extend and (out / "da_state.pkl").exists():
+        state = _load(out / "da_state.pkl")
+        print(f"da: extending from step {int(state.step)}")
+    elif extend and (out / "da_g.pkl").exists():
+        state = state.replace(g_params=_load(out / "da_g.pkl"))
+        print("da: warm-starting generator only (no full state saved)")
     step = jax.jit(make_da_step(da_cfg, vq_tree))
 
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(3 + int(state.step))  # fresh crops on extend
     names = [n for n in streams if len(streams[n][0]) > F]  # crop guard
     assert names, f"every unit stream is shorter than the {F}-frame crop"
     if len(names) < len(streams):
@@ -555,8 +580,10 @@ def stage_da(out, wavs16, steps):
             print(f"da step {i}: mel_error {float(m['mel_error']):.3f} "
                   f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
     force(m)
-    print(f"da final mel_error: {float(m['mel_error']):.3f}")
+    print(f"da final mel_error: {float(m['mel_error']):.3f} "
+          f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
+    _save(out / "da_state.pkl", state)
 
 
 def _hubert_unit_scorer(inp):
@@ -809,6 +836,10 @@ def main():
                    help="exclude NAME from the I_da stack's training "
                         "(feats/f0vq/da) and sweep only it in eval_da "
                         "(writes eval_da_holdout.json)")
+    p.add_argument("--extend", action="store_true",
+                   help="resume hifigan/da GAN training from the full "
+                        "saved state in --out ({hifigan,da}_state.pkl) and "
+                        "train --*-steps MORE, instead of from scratch")
     args = p.parse_args()
     from speech_inpainting_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -823,7 +854,8 @@ def main():
         if s == "kmeans":
             stage_kmeans(out, wavs22)
         elif s == "hifigan":
-            stage_hifigan(out, wavs22, args.hifigan_steps)
+            stage_hifigan(out, wavs22, args.hifigan_steps,
+                          extend=args.extend)
         elif s == "ea":
             stage_ea(out, wavs22, wavs16, args.ea_steps,
                      holdout=args.ea_holdout)
@@ -834,7 +866,8 @@ def main():
         elif s == "f0vq":
             stage_f0vq(out, _drop(wavs16, args.da_holdout), args.f0vq_steps)
         elif s == "da":
-            stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps)
+            stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps,
+                     extend=args.extend)
         elif s == "eval_da":
             stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
         elif s == "baseline":
