@@ -97,6 +97,45 @@ def test_report_merges_holdout_tables(ev, tmp_path):
     assert "wer_cer" in rep  # the environment-blocked column is documented
 
 
+def test_gan_state_pickle_resume_roundtrip(tmp_path):
+    """--extend's contract: a GANTrainState survives a device_get + pickle
+    round trip with every leaf (params, BOTH optimizer states, step) exactly
+    preserved, and a generator-only warm start (.replace) leaves optimizer
+    state fresh — the two resume paths stage_hifigan/stage_da now offer
+    (reference g_/do_ resume I_ea/hifi_gan/train.py:62-80 vs --warm-start
+    train_modified.py:72-93)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+
+    k = jax.random.PRNGKey(0)
+    gp = {"w": jax.random.normal(k, (4, 4))}
+    dp = {"w": jnp.ones((3,))}
+    sp = {"u": jnp.ones((2,))}
+    state = create_gan_state(GANConfig(), gp, dp, dp, sp)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    blob = pickle.dumps(jax.device_get(state))
+    restored = pickle.loads(blob)
+    assert int(restored.step) == 7
+    la, lb = jax.tree.leaves(state), jax.tree.leaves(restored)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the pytree STRUCTURE (incl. optax state classes) must also survive,
+    # or the jitted step would retrace/fail on the restored state
+    assert (jax.tree.structure(state) == jax.tree.structure(restored))
+
+    warm = create_gan_state(GANConfig(), {"w": jnp.zeros((4, 4))}, dp, dp,
+                            sp).replace(g_params=restored.g_params)
+    np.testing.assert_array_equal(np.asarray(warm.g_params["w"]),
+                                  np.asarray(gp["w"]))
+    assert int(warm.step) == 0  # fresh schedule, fresh optimizers
+
+
 def test_report_without_optional_tables(ev, tmp_path):
     (tmp_path / "eval_ea.json").write_text(json.dumps(
         {"protocol": "I_ea", "mean": _sweep((20,), 2.4)}))
