@@ -209,6 +209,42 @@ def cmd_splits(args):
     write(train, valid)
 
 
+def cmd_summary(args):
+    """Split-statistics report (I_ea/dataset/preprocessing.py:62-118
+    ``summary``): utterance/speaker/text counts per split, validation
+    percentages, and the train∩valid speaker/text overlaps — the overlap
+    lines are how the reference sanity-checks the three VCTK regimes
+    ('both' must report 0 common speakers AND 0 common texts)."""
+    def load(path):
+        names = [ln.split("|")[0].strip()
+                 for ln in Path(path).read_text().splitlines() if ln.strip()]
+        spk = [n.split("_")[0] for n in names]
+        txt = [n.split("_", 1)[1] for n in names if "_" in n]
+        return names, spk, txt
+
+    root = Path(args.dest)
+    tr, tr_s, tr_t = load(args.training or root / "training.txt")
+    va, va_s, va_t = load(args.validation or root / "validation.txt")
+    print(f"# of utterances in training set: {len(tr)}")
+    print(f"# of utterances in validation set: {len(va)}")
+    if tr:
+        print(f"{len(va) / len(tr) * 100:.2f}% utterances as validation")
+    uts, uvs = set(tr_s), set(va_s)
+    utt, uvt = set(tr_t), set(va_t)
+    print(f"# of unique speakers in training set: {len(uts)}")
+    print(f"# of unique speakers in validation set: {len(uvs)}")
+    if uts:
+        print(f"{len(uvs) / len(uts) * 100:.2f}% speakers as validation")
+    print(f"# of unique texts in training set: {len(utt)}")
+    print(f"# of unique texts in validation set: {len(uvt)}")
+    if utt:
+        print(f"{len(uvt) / len(utt) * 100:.2f}% unique texts as validation")
+    print(f"# of common unique speakers between training&validation: "
+          f"{len(uts & uvs)}")
+    print(f"# of common unique texts between training&validation: "
+          f"{len(utt & uvt)}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +266,12 @@ def main(argv=None):
     s.add_argument("--only-speaker", default=None,
                    help="restrict to one speaker (fast debug subsets)")
     s.add_argument("--seed", type=int, default=1234)
+
+    s = sub.add_parser("summary")
+    s.add_argument("--dest", default=".",
+                   help="directory holding training.txt/validation.txt")
+    s.add_argument("--training", default=None)
+    s.add_argument("--validation", default=None)
 
     s = sub.add_parser("preprocess")
     s.add_argument("--root", required=True)
@@ -277,7 +319,8 @@ def main(argv=None):
     s.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
-    {"download": cmd_download, "splits": cmd_splits, "preprocess": cmd_preprocess, "manifest": cmd_manifest,
+    {"download": cmd_download, "splits": cmd_splits, "summary": cmd_summary,
+     "preprocess": cmd_preprocess, "manifest": cmd_manifest,
      "quantize": cmd_quantize, "features": cmd_features,
      "parse-codes": cmd_parse_codes,
      "f0-stats": cmd_f0_stats}[args.cmd](args)

@@ -122,6 +122,29 @@ def test_prep_splits_regimes(tmp_path, rng):
     assert not ({t for _, t in tr} & {t for _, t in va})
 
 
+def test_prep_summary_reports_overlap(tmp_path, capsys):
+    """`prep summary` = preprocessing.py:62-118: counts, validation
+    percentages, and the train∩valid speaker/text overlap lines that
+    sanity-check the regimes ('both' must report 0 common of each)."""
+    dest = tmp_path
+    (dest / "training.txt").write_text("p225_001\np225_002\np226_001\n")
+    (dest / "validation.txt").write_text("p227_003\n")
+    prep.main(["summary", "--dest", str(dest)])
+    out = capsys.readouterr().out
+    assert "# of utterances in training set: 3" in out
+    assert "# of utterances in validation set: 1" in out
+    assert "33.33% utterances as validation" in out
+    assert "# of unique speakers in training set: 2" in out
+    assert "# of common unique speakers between training&validation: 0" in out
+    assert "# of common unique texts between training&validation: 0" in out
+
+    # overlapping split (the 'texts' regime shares speakers): overlap != 0
+    (dest / "validation.txt").write_text("p225_003|some text\n")
+    prep.main(["summary", "--dest", str(dest)])
+    out = capsys.readouterr().out
+    assert "# of common unique speakers between training&validation: 1" in out
+
+
 def test_predict_ea_mask_span_parsing():
     import pytest
     from speech_inpainting_tpu.cli.predict_ea import parse_mask_spans
