@@ -738,14 +738,24 @@ def stage_report(out, args, dest=None):
     baseline = None
     if (out / "eval_baseline.json").exists():
         baseline = json.load(open(out / "eval_baseline.json"))
+    def total_steps(pkl, fallback):
+        # with --extend the CLI arg is the per-run increment; the saved
+        # train state carries the cumulative schedule actually trained
+        if (out / pkl).exists():
+            return int(_load(out / pkl).step)
+        return fallback
+
     report = {
         "regime": ("overfit-scale: trained from scratch on the 2 committed "
                    "reference utterances (no pretrained weights / corpora in "
                    "this sandbox); numbers validate the pipelines, not "
                    "paper-scale quality"),
         "training": {
-            "hifigan_steps": args.hifigan_steps, "ea_steps": args.ea_steps,
-            "f0vq_steps": args.f0vq_steps, "da_steps": args.da_steps,
+            "hifigan_steps": total_steps("hifigan_state.pkl",
+                                         args.hifigan_steps),
+            "ea_steps": args.ea_steps,
+            "f0vq_steps": args.f0vq_steps,
+            "da_steps": total_steps("da_state.pkl", args.da_steps),
             "models": "iSTFT-head HiFi-GAN ch192 @22k, unit HiFi-GAN ch192 "
                       "@16k, HuBERT h256 L4, f0-VQVAE w128; every trained "
                       "stage (vocoder, encoder, unit k-means, f0-VQVAE, "
