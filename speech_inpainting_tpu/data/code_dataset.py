@@ -88,7 +88,9 @@ class CodeDatasetConfig:
     mel: MelConfig = VOCODER_MEL_16K_FULLBAND
     f0: F0Config = F0Config()
     f0_hop: int = 80
-    multispkr: str = "_"              # parse_speaker method
+    multispkr: Optional[str] = "_"    # parse_speaker method; falsy =
+                                      # single-speaker (dataset.py:288 gates
+                                      # parsing behind `if path_to_name:`)
     f0_normalize: bool = True
     embedding_dim: int = 256
 
@@ -107,8 +109,11 @@ class CodeDataset:
         self.cfg = cfg
         self.f0_stats = f0_stats
         self.embedder = embedder or mel_stats_embedder(cfg.embedding_dim)
-        self.id_to_spkr = sorted({parse_speaker(f, cfg.multispkr)
-                                  for f in self.files})
+        if cfg.multispkr:
+            self.id_to_spkr = sorted({parse_speaker(f, cfg.multispkr)
+                                      for f in self.files})
+        else:                         # single-speaker (falsy multispkr)
+            self.id_to_spkr = ["A"]
         self.spkr_to_id = {s: i for i, s in enumerate(self.id_to_spkr)}
         self._cache_dir = cache_dir
         self.items = [self._load_item(i) for i in range(len(self.files))]
@@ -135,7 +140,9 @@ class CodeDataset:
         cfg = self.cfg
         wav, sr = load_wav(self.files[idx], target_sr=16000)
         audio = peak_normalize(wav, 0.95)
-        spkr = self.spkr_to_id[parse_speaker(self.files[idx], cfg.multispkr)]
+        spkr = (self.spkr_to_id[parse_speaker(self.files[idx],
+                                              cfg.multispkr)]
+                if cfg.multispkr else 0)
         emb = np.asarray(self.embedder(audio, sr), np.float32)
 
         f0 = _extract_f0_bucketed(audio, cfg.f0)

@@ -1,0 +1,161 @@
+"""Trainer-CLI smoke tests: every `sit-train-*` entry point runs one tiny
+epoch end-to-end through arg parsing, config construction, dataset build,
+step compile, and checkpoint write. These pin the WIRING (flag plumbing,
+config-json schemas, dataset/manifest formats the reference users bring)
+— the numerics of the underlying steps are pinned by the train/* tests."""
+import json
+
+import numpy as np
+import pytest
+
+from speech_inpainting_tpu.data import audio as A
+
+
+@pytest.fixture
+def wavdir22(tmp_path, rng):
+    d = tmp_path / "wavs22"
+    d.mkdir()
+    for i in range(3):
+        t = np.arange(22050) / 22050.0
+        wav = (0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)).astype(
+            np.float32)
+        A.save_wav(d / f"u{i}.wav", wav, 22050)
+    return d
+
+
+TINY_V1 = dict(resblock="1", upsample_rates=[8, 8, 2, 2],
+               upsample_kernel_sizes=[16, 16, 4, 4],
+               upsample_initial_channel=32, resblock_kernel_sizes=[3],
+               resblock_dilation_sizes=[[1, 3]], num_mels=80,
+               sampling_rate=22050)
+
+
+def test_train_hifigan_cli_vanilla(tmp_path, wavdir22):
+    from speech_inpainting_tpu.cli import train_hifigan
+    cfgp = tmp_path / "tiny.json"
+    cfgp.write_text(json.dumps(TINY_V1))
+    ckpt = tmp_path / "ckpt"
+    train_hifigan.main([
+        "--wavs", str(wavdir22), "--config", str(cfgp),
+        "--checkpoint-path", str(ckpt), "--segment-size", "512",
+        "--batch-size", "2", "--epochs", "1"])
+    names = {p.name for p in ckpt.iterdir()}
+    assert any(n.startswith("g_") for n in names), names
+    assert any(n.startswith("do_") for n in names), names
+
+
+def test_train_hifigan_cli_modified(tmp_path, wavdir22, rng):
+    from speech_inpainting_tpu.cli import train_hifigan
+    cfgp = tmp_path / "tiny.json"
+    cfgp.write_text(json.dumps(TINY_V1))
+    km = tmp_path / "km.npy"
+    np.save(km, rng.standard_normal((10, 80)).astype(np.float32))
+    ckpt = tmp_path / "ckpt_mod"
+    train_hifigan.main([
+        "--wavs", str(wavdir22), "--config", str(cfgp), "--modified",
+        "--kmeans", str(km), "--mask-len", "1",
+        "--checkpoint-path", str(ckpt), "--segment-size", "2048",
+        "--batch-size", "2", "--epochs", "1"])
+    assert any(p.name.startswith("g_") for p in ckpt.iterdir())
+
+
+def test_train_ea_cli(tmp_path, rng, monkeypatch):
+    from speech_inpainting_tpu.cli import train_ea
+    from speech_inpainting_tpu.models.hubert import HubertConfig
+    tiny = HubertConfig(conv_dim=(8,) * 7, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, num_conv_pos_embeddings=16,
+                        num_conv_pos_embedding_groups=2)
+    monkeypatch.setattr(HubertConfig, "base", staticmethod(lambda **o: tiny))
+
+    wavs = tmp_path / "wavs16"
+    wavs.mkdir()
+    max_len = int(0.2 * 16000) + 3
+    frames = (max_len - 80) // 320
+    names = []
+    for i in range(2):
+        A.save_wav(wavs / f"u{i}.wav",
+                   rng.standard_normal(3000).astype(np.float32) * 0.2, 16000)
+        names.append(f"u{i}")
+    labels = tmp_path / "labels"
+    labels.mkdir()
+    for n in names:
+        np.save(labels / f"{n}_labels.npy",
+                rng.integers(0, 10, frames).astype(np.int32))
+    split = tmp_path / "training.txt"
+    split.write_text("\n".join(names) + "\n")
+    km = tmp_path / "km.npy"
+    np.save(km, rng.standard_normal((10, 80)).astype(np.float32))
+
+    ckpt = tmp_path / "ckpt_ea"
+    train_ea.main([
+        "--wavs", str(wavs), "--split", str(split),
+        "--labels-dir", str(labels), "--kmeans", str(km),
+        "--checkpoint-path", str(ckpt), "--hubert-type", "base",
+        "--batch-size", "2", "--epochs", "1", "--mask-length", "3",
+        "--max-wav-seconds", "0.2"])
+    names = {p.name for p in ckpt.iterdir()}
+    assert any(n.startswith("ea_") for n in names), names
+    assert any(n.startswith("last_") for n in names), names
+
+
+F0_STACK = dict(input_emb_width=1, output_emb_width=16, levels=1,
+                downs_t=[2], strides_t=[2], width=8, depth=1, m_conv=1.0,
+                dilation_growth_rate=3)
+
+
+def test_train_f0vq_cli(tmp_path, rng):
+    from speech_inpainting_tpu.cli import train_f0vq
+    wavs = []
+    for i in range(2):
+        p = tmp_path / f"s{i}_u.wav"
+        t = np.arange(8000) / 16000.0
+        A.save_wav(p, (0.3 * np.sin(2 * np.pi * (120 + 30 * i) * t)).astype(
+            np.float32), 16000)
+        wavs.append(p)
+    manifest = tmp_path / "train.txt"
+    manifest.write_text("\n".join(str(p) for p in wavs) + "\n")
+    cfgp = tmp_path / "f0vq.json"
+    cfgp.write_text(json.dumps(dict(
+        f0_encoder_params=F0_STACK, f0_decoder_params=F0_STACK,
+        f0_vq_params=dict(l_bins=8, emb_width=16, mu=0.99, levels=1),
+        segment_size=1600, batch_size=2)))
+    ckpt = tmp_path / "ckpt_f0"
+    train_f0vq.main(["--config", str(cfgp), "--train-manifest",
+                     str(manifest), "--checkpoint-path", str(ckpt),
+                     "--epochs", "1", "--cache-dir", str(tmp_path / "c")])
+    assert any(p.name.startswith("g_") for p in ckpt.iterdir())
+
+
+def test_train_da_cli(tmp_path, rng):
+    from speech_inpainting_tpu.cli import train_da
+    # decoder-only regime (no f0/speaker paths): generator total upsample
+    # (2*2=4) == code_hop_size so the synthesized waveform matches the crop
+    h = dict(resblock="1", upsample_rates=[2, 2],
+             upsample_kernel_sizes=[4, 4], upsample_initial_channel=16,
+             resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+             model_in_dim=16, num_embeddings=10, embedding_dim=16,
+             multispkr=None, f0_stats=None, lambda_commit_code=0,
+             sampling_rate=16000, segment_size=2560, code_hop_size=4,
+             batch_size=2, num_mels=80, n_fft=1024, hop_size=256,
+             win_size=1024, fmin=0, fmax_for_loss=None)
+    cfgp = tmp_path / "da.json"
+    cfgp.write_text(json.dumps(h))
+    entries = []
+    for i in range(2):
+        p = tmp_path / f"s{i}_u.wav"
+        t = np.arange(8000) / 16000.0
+        A.save_wav(p, (0.3 * np.sin(2 * np.pi * (120 + 30 * i) * t)).astype(
+            np.float32), 16000)
+        units = rng.integers(0, 10, 8000 // 4)
+        entries.append(json.dumps({
+            "audio": str(p), "hubert": " ".join(map(str, units))}))
+    manifest = tmp_path / "train.txt"
+    manifest.write_text("\n".join(entries) + "\n")
+    ckpt = tmp_path / "ckpt_da"
+    train_da.main(["--config", str(cfgp), "--train-manifest", str(manifest),
+                   "--checkpoint-path", str(ckpt), "--epochs", "1",
+                   "--cache-dir", str(tmp_path / "c")])
+    names = {p.name for p in ckpt.iterdir()}
+    assert any(n.startswith("g_") for n in names), names
+    assert any(n.startswith("do_") for n in names), names
