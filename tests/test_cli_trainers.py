@@ -26,7 +26,7 @@ def wavdir22(tmp_path, rng):
 TINY_V1 = dict(resblock="1", upsample_rates=[8, 8, 2, 2],
                upsample_kernel_sizes=[16, 16, 4, 4],
                upsample_initial_channel=32, resblock_kernel_sizes=[3],
-               resblock_dilation_sizes=[[1, 3]], num_mels=80,
+               resblock_dilation_sizes=[[1, 3, 5]], num_mels=80,
                sampling_rate=22050)
 
 
@@ -159,3 +159,106 @@ def test_train_da_cli(tmp_path, rng):
     names = {p.name for p in ckpt.iterdir()}
     assert any(n.startswith("g_") for n in names), names
     assert any(n.startswith("do_") for n in names), names
+
+
+def test_inpaint_da_cli(tmp_path, rng):
+    """The I_da inpainting driver end-to-end from real artifact formats:
+    a torch g_* CodeGenerator checkpoint (converted on load), a local HF
+    HuBERT checkpoint dir, and .npy centroids — emits the reference's
+    {name}_gt/_masked_{ms}/_gen/_inpainted_{ms}.wav artifact set."""
+    import torch
+    from transformers import HubertConfig as HFConfig
+    from transformers import HubertModel as HFHubert
+    from reference_loader import AttrDict, ref_ida_modules, seed_all
+    from test_codegen import F0Q, VQ, make_ref_fo_vqvae
+    from test_hubert import TINY_BASE
+    from speech_inpainting_tpu.cli import inpaint_da
+
+    seed_all()
+    _, _, _, model = ref_ida_modules()
+    # generator upsample (5*4=20) == HuBERT hop (TINY_BASE strides 5*2*2)
+    # == code_hop_size, the IdaInpainter alignment contract
+    hifi = dict(resblock="1", upsample_rates=[5, 4],
+                upsample_kernel_sizes=[11, 8], upsample_initial_channel=32,
+                resblock_kernel_sizes=[3],
+                resblock_dilation_sizes=[[1, 3, 5]], model_in_dim=48, num_embeddings=5, embedding_dim=16,
+                multispkr="_", f0_stats="yes", f0_normalize=True,
+                f0_quantizer_path=None, sampling_rate=16000,
+                lambda_commit_code=0, spk_embeddings=4, code_hop_size=20)
+    tm = model.CodeGenerator(AttrDict(dict(hifi, f0_quantizer=F0Q))).eval()
+    tm.fo_vqvae = make_ref_fo_vqvae()
+    tm.emb_p = torch.nn.Embedding(VQ["l_bins"], hifi["embedding_dim"])
+    torch.save({"generator": tm.state_dict()}, tmp_path / "g_00000001")
+
+    hub_dir = tmp_path / "hub"
+    HFHubert(HFConfig(**TINY_BASE)).save_pretrained(hub_dir)
+    km = tmp_path / "km.npy"
+    np.save(km, rng.standard_normal(
+        (5, TINY_BASE["hidden_size"])).astype(np.float32))
+
+    cfgp = tmp_path / "da.json"
+    cfgp.write_text(json.dumps(dict(hifi, f0_quantizer=F0Q)))
+    wav = tmp_path / "u0.wav"
+    t = np.arange(35200) / 16000.0
+    A.save_wav(wav, (0.3 * np.sin(2 * np.pi * 130 * t)).astype(np.float32),
+               16000)
+    manifest = tmp_path / "val.txt"
+    manifest.write_text(str(wav) + "\n")
+
+    out = tmp_path / "outputs"
+    inpaint_da.main([
+        "--config", str(cfgp), "--manifest", str(manifest),
+        "--codegen-checkpoint", str(tmp_path / "g_00000001"),
+        "--hubert", str(hub_dir), "--layer", "2", "--kmeans", str(km),
+        "--mask-ms", "100", "200", "--out", str(out)])
+    names = {p.name for p in out.iterdir()}
+    assert {"u0_gt.wav", "u0_gen.wav", "u0_masked_100.wav",
+            "u0_inpainted_100.wav", "u0_masked_200.wav",
+            "u0_inpainted_200.wav"} <= names, names
+
+
+def test_export_aot_cli(tmp_path, rng, monkeypatch):
+    """sit-export end-to-end: tiny framework HuBERT checkpoint + torch V1
+    g_* + centroids -> self-contained artifact that reloads and runs."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from reference_loader import AttrDict, ref_hifigan_models, seed_all
+    from speech_inpainting_tpu.cli import export_aot
+    from speech_inpainting_tpu.models.hubert import (EncoderWithHead,
+                                                     HubertConfig)
+    from speech_inpainting_tpu.utils.checkpoints import Checkpointer
+
+    tiny = HubertConfig(conv_dim=(8,) * 7, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, num_conv_pos_embeddings=16,
+                        num_conv_pos_embedding_groups=2)
+    monkeypatch.setattr(HubertConfig, "base", staticmethod(lambda **o: tiny))
+    params = EncoderWithHead(tiny, out_dim=80).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    ck = Checkpointer(tmp_path / "enc")
+    ck.save("enc_", 1, {"model": params}, wait=True)
+
+    seed_all()
+    tg = ref_hifigan_models().Generator(AttrDict(TINY_V1)).eval()
+    torch.save({"generator": tg.state_dict()}, tmp_path / "g_00000001")
+    gcfgp = tmp_path / "g.json"
+    gcfgp.write_text(json.dumps(TINY_V1))
+    km = tmp_path / "km.npy"
+    np.save(km, rng.standard_normal((10, 80)).astype(np.float32))
+
+    out = tmp_path / "art"
+    export_aot.main([
+        "--seconds", "0.2", "--hubert-checkpoint",
+        str(tmp_path / "enc" / "enc_00000001"), "--hubert-type", "base",
+        "--hifigan-checkpoint", str(tmp_path / "g_00000001"),
+        "--hifigan-config", str(gcfgp), "--kmeans", str(km),
+        "--out", str(out)])
+    names = {p.name for p in out.iterdir()}
+    assert {"graph.bin", "params.pkl", "meta.json"} <= names, names
+
+    from speech_inpainting_tpu.infer.aot import load_serving_artifact
+    served = load_serving_artifact(str(out))
+    got = served.batch(jnp.zeros((2, 4410)), jnp.zeros((2, 3200)),
+                       jnp.asarray([1, 2]), jnp.asarray([2, 2]))
+    assert np.isfinite(np.asarray(got["inpainted"])).all()
