@@ -49,9 +49,23 @@ class TrainLogger:
             self._writer.add_scalar(tag, float(value), step)
 
     def audio(self, tag: str, wav: np.ndarray, step: int, sr: int):
-        if self._writer:
-            self._writer.add_audio(tag, np.asarray(wav).reshape(-1, 1),
-                                   step, sample_rate=sr)
+        if not self._writer:
+            return
+        # tensorboardX's add_audio encodes via soundfile, which is absent in
+        # this image by design — build the TB audio summary from our own
+        # in-memory WAV encoding instead
+        import io
+        from scipy.io import wavfile
+        from tensorboardX.proto.summary_pb2 import Summary
+        pcm = np.clip(np.asarray(wav, np.float32).reshape(-1), -1.0, 1.0)
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (pcm * 32767.0).astype(np.int16))
+        a = Summary.Audio(sample_rate=sr, num_channels=1,
+                          length_frames=len(pcm),
+                          encoded_audio_string=buf.getvalue(),
+                          content_type="audio/wav")
+        self._writer._get_file_writer().add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=a)]), step)
 
     def mel_figure(self, tag: str, mel: np.ndarray, step: int):
         """Spectrogram figure (the reference's plot_spectrogram TB panels)."""
