@@ -756,6 +756,11 @@ def stage_report(out, args, dest=None):
             "ea_steps": args.ea_steps,
             "f0vq_steps": args.f0vq_steps,
             "da_steps": total_steps("da_state.pkl", args.da_steps),
+            "steps_note": ("GAN step counts are the saved optimizer "
+                           "lineage; a generator-only --extend warm start "
+                           "(no prior full state) restarts the counter, so "
+                           "warm-started generators carry additional "
+                           "earlier training"),
             "models": "iSTFT-head HiFi-GAN ch192 @22k, unit HiFi-GAN ch192 "
                       "@16k, HuBERT h256 L4, f0-VQVAE w128; every trained "
                       "stage (vocoder, encoder, unit k-means, f0-VQVAE, "
