@@ -30,6 +30,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True, help="reference-style json")
     p.add_argument("--train-manifest", required=True)
+    p.add_argument("--valid-manifest", default=None,
+                   help="held-out manifest for the periodic validation "
+                        "mel-error sweep (scripts/train.py:362-385)")
     p.add_argument("--checkpoint-path", required=True)
     p.add_argument("--f0-quantizer", default=None,
                    help="our f0-VQVAE checkpoint dir OR torch g_* file")
@@ -45,6 +48,9 @@ def main(argv=None):
                    help="discriminators compute in bf16 (params/losses f32;"
                         " +20%% steps/s, BENCH_TRAIN_r03.json)")
     p.add_argument("--mesh", action="store_true")
+    p.add_argument("--validation-interval", type=int, default=1000,
+                   help="steps between validation sweeps "
+                        "(train.py --validation_interval)")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -130,12 +136,34 @@ def main(argv=None):
         mesh = make_mesh()
     run = RunConfig(epochs=args.epochs, checkpoint_dir=args.checkpoint_path,
                     log_dir=args.log_dir, training_steps=args.training_steps,
-                    mesh=mesh, abort_nonfinite=args.skip_nonfinite)
+                    mesh=mesh, abort_nonfinite=args.skip_nonfinite,
+                    validation_interval=args.validation_interval)
     batch_size = h.get("batch_size", 16)
+    valid_fn = None
+    if args.valid_manifest:
+        from ..train.da import make_da_eval
+        from ..train.run import gan_valid_fn
+        vfiles, vcodes = parse_manifest(args.valid_manifest)
+        vds = CodeDataset(vfiles, vcodes,
+                          CodeDatasetConfig(segment_size=cfg.segment_size,
+                                            code_hop_size=cfg.code_hop_size,
+                                            mel=mel_loss,
+                                            multispkr=h.get("multispkr", "_")),
+                          cache_dir=args.cache_dir)
+        # deterministic sweep: fixed epoch/seed → the same clips every visit
+        val_batches = list(vds.batches(min(batch_size, len(vfiles)),
+                                       epoch=0, seed=args.seed + 1))
+        # eval needs the vq leg: train-state codebooks in the joint regime,
+        # the frozen pitch tree otherwise (it is not in the GAN state)
+        params_fn = ((lambda s: (s.g_params, s.vq))
+                     if ccfg.code_encoder is not None
+                     else (lambda s: (s.g_params, vq_tree)))
+        valid_fn = gan_valid_fn(make_da_eval(cfg), val_batches, mesh,
+                                params_fn=params_fn)
     run_gan_training(step, state,
                      lambda epoch: ds.batches(batch_size, epoch=epoch,
                                               seed=args.seed),
-                     run)
+                     run, valid_fn=valid_fn)
 
 
 if __name__ == "__main__":

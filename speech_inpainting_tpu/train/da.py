@@ -24,7 +24,8 @@ import jax
 
 from ..models.codegen import CodeGenerator, CodeGeneratorConfig
 from ..ops.mel import VOCODER_MEL_16K_FULLBAND, MelConfig, mel_spectrogram
-from .gan import GANConfig, GANTrainState, create_gan_state, make_gan_step
+from .gan import (GANConfig, GANTrainState, create_gan_state,
+                  make_gan_eval, make_gan_step)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +83,23 @@ def make_da_step(cfg: DATrainConfig, vq_tree=None, *, mpd=None, msd=None):
     return make_gan_step(gen_fwd, mel_fn, cfg.gan, mpd=mpd, msd=msd)
 
 
+def make_da_eval(cfg: DATrainConfig):
+    """Validation mel error for the decoder loops (the reference's val sweep,
+    I_da/scripts/train.py:362-385): eval_fn((g_params, vq), batch) →
+    {'mel_error'}. The vq leg is the frozen pitch tree in the decoder-only
+    regime, or state.vq in the joint regime (codebooks are train state);
+    eval mode never updates it (vq.py eval path)."""
+    codegen = CodeGenerator(cfg.codegen)
+
+    def gen_fwd(params_and_vq, batch):
+        g_params, vq = params_and_vq
+        return codegen.apply(
+            {"params": g_params, "vq": vq}, batch["code"],
+            f0=batch.get("f0"), emb=batch.get("emb"), spkr=batch.get("spkr"))
+
+    return make_gan_eval(gen_fwd, lambda w: mel_spectrogram(w, cfg.mel_loss))
+
+
 def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
                     spectral, *, vq=None, seed: int = 1234) -> GANTrainState:
     """GAN state for the joint regime: vq = the generator's full 'vq'
@@ -92,4 +110,4 @@ def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
 
 
 __all__ = ["DATrainConfig", "GANConfig", "create_gan_state",
-           "create_da_state", "make_da_step"]
+           "create_da_state", "make_da_step", "make_da_eval"]

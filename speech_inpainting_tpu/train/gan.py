@@ -246,3 +246,20 @@ def make_gan_step(generator_fwd: Callable, mel_fn: Callable, cfg: GANConfig,
         return new_state, metrics
 
     return step
+
+
+def make_gan_eval(generator_fwd: Callable, mel_fn: Callable):
+    """Validation metric for the GAN loops: generator-only forward, val mel
+    error = L1(mel(ŷ), loss mel) — the quantity the reference's validation
+    sweeps log (I_ea/hifi_gan/train.py:218-246 val_err,
+    I_da/scripts/train.py:362-385). generator_fwd(g_params, batch) → ŷ (or a
+    tuple whose first element is ŷ), as in make_gan_step's decoder-only
+    signature; jit the result and drive it from run_gan_training's
+    valid_fn."""
+    def eval_fn(g_params, batch):
+        y = batch["audio"]
+        mel_gt = batch["mel_loss"] if "mel_loss" in batch else mel_fn(y[:, 0])
+        out = generator_fwd(g_params, batch)
+        y_hat = out[0] if isinstance(out, tuple) else out
+        return {"mel_error": jnp.mean(jnp.abs(mel_gt - mel_fn(y_hat[:, 0])))}
+    return eval_fn

@@ -28,7 +28,7 @@ from ..ops.mel import (MODIFIED_MEL_22K, VOCODER_MEL_22K,
                        VOCODER_MEL_22K_FULLBAND, MelConfig, mel_spectrogram)
 from ..ops.resize import regrid_mel_to
 from ..quantize.kmeans import quantize_to_centroids
-from .gan import GANConfig, create_gan_state, make_gan_step
+from .gan import GANConfig, create_gan_state, make_gan_eval, make_gan_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,12 +42,9 @@ class HiFiGANTrainConfig:
     mel_loss: MelConfig = VOCODER_MEL_22K_FULLBAND
 
 
-def make_vanilla_step(cfg: HiFiGANTrainConfig, *, generator=None,
-                      mpd=None, msd=None):
-    """Vanilla HiFi-GAN: batch = {'audio': (B,1,S)} (+ optional teacher
-    'mel'); returns the jittable GAN step. `generator` overrides the module
-    (e.g. models.hifigan_istft.ISTFTGenerator — same recipe, faster head);
-    mpd/msd as in make_gan_step."""
+def vanilla_gen_fwd(cfg: HiFiGANTrainConfig, generator=None):
+    """gen_fwd(g_params, batch) for the vanilla recipe: generator input =
+    in-graph mel of the crop, or the teacher 'mel' when present."""
     gen = generator or Generator(cfg.hifigan)
 
     def gen_fwd(g_params, batch):
@@ -55,18 +52,12 @@ def make_vanilla_step(cfg: HiFiGANTrainConfig, *, generator=None,
             batch["audio"][:, 0], cfg.mel_input)
         return gen.apply({"params": g_params}, mel)
 
-    return make_gan_step(gen_fwd,
-                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan,
-                         mpd=mpd, msd=msd)
+    return gen_fwd
 
 
-def make_modified_step(cfg: HiFiGANTrainConfig, centroids, *,
-                       generator=None, mpd=None, msd=None):
-    """Centroid-substitution fine-tune: batch = {'audio': (B,1,S),
-    'mask_start': (B,) int32 — random span start in hop-441 frames}.
-    `generator`/`mpd`/`msd` override the modules as in make_vanilla_step
-    (the iSTFT-head family trains on this recipe too — same mel frontend,
-    same GAN losses, faster waveform head)."""
+def modified_gen_fwd(cfg: HiFiGANTrainConfig, centroids, generator=None):
+    """gen_fwd(g_params, batch) for the centroid-substitution recipe:
+    hop-441 mel → nearest-centroid span replacement → hop-256 regrid."""
     gen = generator or Generator(cfg.hifigan)
     C = jnp.asarray(centroids, jnp.float32)          # (K, 80)
 
@@ -86,10 +77,48 @@ def make_modified_step(cfg: HiFiGANTrainConfig, centroids, *,
         ext_mel = regrid_mel_to(comp_mel, n256)
         return gen.apply({"params": g_params}, ext_mel)
 
-    return make_gan_step(gen_fwd,
+    return gen_fwd
+
+
+def make_vanilla_step(cfg: HiFiGANTrainConfig, *, generator=None,
+                      mpd=None, msd=None):
+    """Vanilla HiFi-GAN: batch = {'audio': (B,1,S)} (+ optional teacher
+    'mel'); returns the jittable GAN step. `generator` overrides the module
+    (e.g. models.hifigan_istft.ISTFTGenerator — same recipe, faster head);
+    mpd/msd as in make_gan_step."""
+    return make_gan_step(vanilla_gen_fwd(cfg, generator),
                          lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan,
                          mpd=mpd, msd=msd)
 
 
+def make_modified_step(cfg: HiFiGANTrainConfig, centroids, *,
+                       generator=None, mpd=None, msd=None):
+    """Centroid-substitution fine-tune: batch = {'audio': (B,1,S),
+    'mask_start': (B,) int32 — random span start in hop-441 frames}.
+    `generator`/`mpd`/`msd` override the modules as in make_vanilla_step
+    (the iSTFT-head family trains on this recipe too — same mel frontend,
+    same GAN losses, faster waveform head)."""
+    return make_gan_step(modified_gen_fwd(cfg, centroids, generator),
+                         lambda w: mel_spectrogram(w, cfg.mel_loss), cfg.gan,
+                         mpd=mpd, msd=msd)
+
+
+def make_vanilla_eval(cfg: HiFiGANTrainConfig, *, generator=None):
+    """Validation mel error (reference train.py:218-246) for the vanilla
+    recipe; eval_fn(g_params, batch) → {'mel_error'}."""
+    return make_gan_eval(vanilla_gen_fwd(cfg, generator),
+                         lambda w: mel_spectrogram(w, cfg.mel_loss))
+
+
+def make_modified_eval(cfg: HiFiGANTrainConfig, centroids, *,
+                       generator=None):
+    """Validation mel error for the centroid-substitution recipe
+    (train_modified.py:218-252's sweep, minus the soundfile wav dumps —
+    TB audio goes through utils/logging.py instead)."""
+    return make_gan_eval(modified_gen_fwd(cfg, centroids, generator),
+                         lambda w: mel_spectrogram(w, cfg.mel_loss))
+
+
 __all__ = ["HiFiGANTrainConfig", "GANConfig", "create_gan_state",
-           "make_vanilla_step", "make_modified_step"]
+           "make_vanilla_step", "make_modified_step",
+           "make_vanilla_eval", "make_modified_eval"]

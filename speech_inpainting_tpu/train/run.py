@@ -121,6 +121,27 @@ def _check_nonfinite_abort(run: RunConfig, steps: int, metrics,
         "applied — the saved checkpoint is finite. Inspect the data/lr.")
 
 
+def gan_valid_fn(eval_fn: Callable, val_batches, mesh=None,
+                 params_fn: Callable = lambda s: s.g_params):
+    """Build run_gan_training's valid_fn from a make_gan_eval product: jits
+    eval_fn(params_fn(state), batch), places each host batch on the training
+    mesh (replicated — same constraint as run_ea_training's placement note:
+    global params + host-local batches die mixing incompatible devices), and
+    returns the per-metric means over `val_batches`."""
+    jev = jax.jit(eval_fn)
+    place = ((lambda b: shard_host_batch(mesh, b, PartitionSpec()))
+             if mesh is not None else (lambda b: b))
+
+    def valid_fn(state):
+        vals = [jev(params_fn(state), place(b)) for b in val_batches]
+        if not vals:
+            return {}
+        return {k: float(np.mean([float(v[k]) for v in vals]))
+                for k in vals[0]}
+
+    return valid_fn
+
+
 def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                      run: RunConfig, *, valid_fn: Optional[Callable] = None):
     """Drive a GAN train state: step_fn(state, batch), make_batches(epoch) →

@@ -35,8 +35,15 @@ def test_train_hifigan_cli_vanilla(tmp_path, wavdir22):
     cfgp = tmp_path / "tiny.json"
     cfgp.write_text(json.dumps(TINY_V1))
     ckpt = tmp_path / "ckpt"
+    # u2 held out as the validation sweep target (train.py:218-246 path),
+    # firing every step at --validation-interval 1
+    (tmp_path / "train.txt").write_text("u0\nu1\n")
+    (tmp_path / "val.txt").write_text("u2\n")
     train_hifigan.main([
         "--wavs", str(wavdir22), "--config", str(cfgp),
+        "--filelist", str(tmp_path / "train.txt"),
+        "--valid-filelist", str(tmp_path / "val.txt"),
+        "--validation-interval", "1",
         "--checkpoint-path", str(ckpt), "--segment-size", "512",
         "--batch-size", "2", "--epochs", "1"])
     names = {p.name for p in ckpt.iterdir()}
@@ -57,6 +64,73 @@ def test_train_hifigan_cli_modified(tmp_path, wavdir22, rng):
         "--checkpoint-path", str(ckpt), "--segment-size", "2048",
         "--batch-size", "2", "--epochs", "1"])
     assert any(p.name.startswith("g_") for p in ckpt.iterdir())
+
+
+def test_train_hifigan_cli_fine_tuning(tmp_path, wavdir22):
+    """Teacher-mel regime (train.py --fine_tuning + meldataset.py:137-168):
+    generator input mels come from .npy dumps, crops are mel-aligned."""
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.cli import train_hifigan
+    from speech_inpainting_tpu.ops.mel import VOCODER_MEL_22K, mel_spectrogram
+
+    mels = tmp_path / "teacher_mels"
+    mels.mkdir()
+    for p in sorted(wavdir22.glob("*.wav")):
+        wav, _ = A.load_wav(p)
+        np.save(mels / f"{p.stem}.npy",
+                np.asarray(mel_spectrogram(jnp.asarray(wav)[None],
+                                           VOCODER_MEL_22K))[0])
+    cfgp = tmp_path / "tiny.json"
+    cfgp.write_text(json.dumps(TINY_V1))
+    ckpt = tmp_path / "ckpt_ft"
+    train_hifigan.main([
+        "--wavs", str(wavdir22), "--config", str(cfgp), "--fine-tuning",
+        "--input-mels-dir", str(mels),
+        "--checkpoint-path", str(ckpt), "--segment-size", "512",
+        "--batch-size", "2", "--epochs", "1"])
+    assert any(p.name.startswith("g_") for p in ckpt.iterdir())
+
+
+def test_teacher_mel_crops_are_hop_aligned(tmp_path, rng):
+    """Every emitted (audio, mel) pair is a matching hop-aligned window of
+    the source: audio[a*hop : a*hop+seg] with mel[:, a:a+seg/hop]
+    (meldataset.py:159-163); short utterances pad both (:165-167)."""
+    from speech_inpainting_tpu.cli.train_hifigan import CropDataset
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    hop, seg = 4, 16
+    fps = seg // hop
+    # u0 long (croppable), u1 shorter than one segment (pad branch)
+    A.save_wav(d / "u0.wav", (np.arange(50, dtype=np.float32) + 1) / 100,
+               22050)
+    A.save_wav(d / "u1.wav", -(np.arange(10, dtype=np.float32) + 1) / 100,
+               22050)
+    w0, _ = A.load_wav(d / "u0.wav")      # 16-bit roundtrip = what ds holds
+    w1, _ = A.load_wav(d / "u1.wav")
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    mel0 = rng.standard_normal((3, len(w0) // hop)).astype(np.float32)
+    mel1 = rng.standard_normal((3, len(w1) // hop)).astype(np.float32)
+    np.save(mels_dir / "u0.npy", mel0)
+    np.save(mels_dir / "u1.npy", mel1)
+
+    ds = CropDataset(sorted(d.glob("*.wav")), seg, normalize=False,
+                     mels_dir=mels_dir, hop=hop)
+    for epoch in range(4):
+        (batch,) = list(ds.batches(2, epoch=epoch))
+        assert batch["audio"].shape == (2, 1, seg)
+        assert batch["mel"].shape == (2, 3, fps)
+        for audio, mel in zip(batch["audio"][:, 0], batch["mel"]):
+            if audio.min() < 0:                      # u1: the pad branch
+                assert np.array_equal(audio, np.pad(w1, (0, seg - len(w1))))
+                assert np.array_equal(
+                    mel, np.pad(mel1, ((0, 0), (0, fps - mel1.shape[1]))))
+            else:                                    # u0: aligned crop
+                a = int(round(float(audio[0]) * 100)) - 1
+                assert a % hop == 0 and a // hop <= mel0.shape[1] - fps - 1
+                assert np.array_equal(audio, w0[a:a + seg])
+                assert np.array_equal(mel, mel0[:, a // hop:a // hop + fps])
 
 
 def test_train_ea_cli(tmp_path, rng, monkeypatch):
@@ -153,7 +227,14 @@ def test_train_da_cli(tmp_path, rng):
     manifest = tmp_path / "train.txt"
     manifest.write_text("\n".join(entries) + "\n")
     ckpt = tmp_path / "ckpt_da"
+    # the 2nd utterance doubles as a validation manifest: the sweep path
+    # (make_da_eval + gan_valid_fn, scripts/train.py:362-385) fires every
+    # step at --validation-interval 1
+    vmanifest = tmp_path / "val.txt"
+    vmanifest.write_text(entries[1] + "\n")
     train_da.main(["--config", str(cfgp), "--train-manifest", str(manifest),
+                   "--valid-manifest", str(vmanifest),
+                   "--validation-interval", "1",
                    "--checkpoint-path", str(ckpt), "--epochs", "1",
                    "--cache-dir", str(tmp_path / "c")])
     names = {p.name for p in ckpt.iterdir()}
