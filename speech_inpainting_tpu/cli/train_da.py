@@ -141,7 +141,7 @@ def main(argv=None):
     batch_size = h.get("batch_size", 16)
     valid_fn = None
     if args.valid_manifest:
-        from ..train.da import make_da_eval
+        from ..train.da import da_gen_fwd, make_da_eval
         from ..train.run import gan_valid_fn
         vfiles, vcodes = parse_manifest(args.valid_manifest)
         vds = CodeDataset(vfiles, vcodes,
@@ -159,7 +159,10 @@ def main(argv=None):
                      if ccfg.code_encoder is not None
                      else (lambda s: (s.g_params, vq_tree)))
         valid_fn = gan_valid_fn(make_da_eval(cfg), val_batches, mesh,
-                                params_fn=params_fn)
+                                params_fn=params_fn,
+                                media_fwd=da_gen_fwd(cfg),
+                                media_mel=cfg.mel_loss,
+                                sample_rate=mel_loss.sampling_rate)
     run_gan_training(step, state,
                      lambda epoch: ds.batches(batch_size, epoch=epoch,
                                               seed=args.seed),

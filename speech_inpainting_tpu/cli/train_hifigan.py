@@ -241,7 +241,8 @@ def main(argv=None):
                     validation_interval=args.validation_interval)
     valid_fn = None
     if args.valid_filelist:
-        from ..train.hifigan import make_modified_eval, make_vanilla_eval
+        from ..train.hifigan import (make_modified_eval, make_vanilla_eval,
+                                     modified_gen_fwd, vanilla_gen_fwd)
         from ..train.run import gan_valid_fn
         vds = CropDataset(
             filelist_paths(args.valid_filelist), seg,
@@ -252,9 +253,15 @@ def main(argv=None):
         val_batches = list(vds.batches(
             min(args.batch_size, len(vds.wavs)), epoch=0,
             seed=args.seed + 1, n441_mask_limit=n441))
-        ev = (make_modified_eval(tcfg, km.centroids) if args.modified
-              else make_vanilla_eval(tcfg, generator=generator))
-        valid_fn = gan_valid_fn(ev, val_batches, mesh)
+        if args.modified:
+            ev = make_modified_eval(tcfg, km.centroids)
+            fwd = modified_gen_fwd(tcfg, km.centroids)
+        else:
+            ev = make_vanilla_eval(tcfg, generator=generator)
+            fwd = vanilla_gen_fwd(tcfg, generator)
+        valid_fn = gan_valid_fn(ev, val_batches, mesh, media_fwd=fwd,
+                                media_mel=tcfg.mel_input,
+                                sample_rate=gcfg.sampling_rate)
     run_gan_training(step, state,
                      lambda epoch: ds.batches(args.batch_size, epoch=epoch,
                                               seed=args.seed,

@@ -83,12 +83,12 @@ def make_da_step(cfg: DATrainConfig, vq_tree=None, *, mpd=None, msd=None):
     return make_gan_step(gen_fwd, mel_fn, cfg.gan, mpd=mpd, msd=msd)
 
 
-def make_da_eval(cfg: DATrainConfig):
-    """Validation mel error for the decoder loops (the reference's val sweep,
-    I_da/scripts/train.py:362-385): eval_fn((g_params, vq), batch) →
-    {'mel_error'}. The vq leg is the frozen pitch tree in the decoder-only
-    regime, or state.vq in the joint regime (codebooks are train state);
-    eval mode never updates it (vq.py eval path)."""
+def da_gen_fwd(cfg: DATrainConfig):
+    """Eval-mode generator forward for the decoder loops:
+    gen_fwd((g_params, vq), batch) → ŷ (plus (commit, metrics) in the joint
+    regime). The vq leg is the frozen pitch tree in the decoder-only regime,
+    or state.vq in the joint regime (codebooks are train state); eval mode
+    never updates it (vq.py eval path)."""
     codegen = CodeGenerator(cfg.codegen)
 
     def gen_fwd(params_and_vq, batch):
@@ -97,7 +97,15 @@ def make_da_eval(cfg: DATrainConfig):
             {"params": g_params, "vq": vq}, batch["code"],
             f0=batch.get("f0"), emb=batch.get("emb"), spkr=batch.get("spkr"))
 
-    return make_gan_eval(gen_fwd, lambda w: mel_spectrogram(w, cfg.mel_loss))
+    return gen_fwd
+
+
+def make_da_eval(cfg: DATrainConfig):
+    """Validation mel error for the decoder loops (the reference's val sweep,
+    I_da/scripts/train.py:362-385): eval_fn((g_params, vq), batch) →
+    {'mel_error'}."""
+    return make_gan_eval(da_gen_fwd(cfg),
+                         lambda w: mel_spectrogram(w, cfg.mel_loss))
 
 
 def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
@@ -110,4 +118,4 @@ def create_da_state(cfg: DATrainConfig, g_params, mpd_params, msd_params,
 
 
 __all__ = ["DATrainConfig", "GANConfig", "create_gan_state",
-           "create_da_state", "make_da_step", "make_da_eval"]
+           "create_da_state", "make_da_step", "make_da_eval", "da_gen_fwd"]

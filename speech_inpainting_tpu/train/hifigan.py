@@ -121,4 +121,5 @@ def make_modified_eval(cfg: HiFiGANTrainConfig, centroids, *,
 
 __all__ = ["HiFiGANTrainConfig", "GANConfig", "create_gan_state",
            "make_vanilla_step", "make_modified_step",
-           "make_vanilla_eval", "make_modified_eval"]
+           "make_vanilla_eval", "make_modified_eval",
+           "vanilla_gen_fwd", "modified_gen_fwd"]

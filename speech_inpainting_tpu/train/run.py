@@ -9,6 +9,7 @@ g_/do_ checkpointing, auto-resume from the newest checkpoint.
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import signal
 import threading
 from typing import Callable, Optional
@@ -122,18 +123,38 @@ def _check_nonfinite_abort(run: RunConfig, steps: int, metrics,
 
 
 def gan_valid_fn(eval_fn: Callable, val_batches, mesh=None,
-                 params_fn: Callable = lambda s: s.g_params):
+                 params_fn: Callable = lambda s: s.g_params,
+                 media_fwd: Optional[Callable] = None,
+                 media_mel=None, sample_rate: Optional[int] = None):
     """Build run_gan_training's valid_fn from a make_gan_eval product: jits
     eval_fn(params_fn(state), batch), places each host batch on the training
     mesh (replicated — same constraint as run_ea_training's placement note:
     global params + host-local batches die mixing incompatible devices), and
-    returns the per-metric means over `val_batches`."""
+    returns the per-metric means over `val_batches`.
+
+    `media_fwd` (the generator_fwd the eval uses) enables the reference's
+    validation TB media (I_ea/hifi_gan/train.py:228-246): each sweep logs
+    the first validation item's synthesized audio (at `sample_rate`) and,
+    with `media_mel` (a MelConfig), its mel figure."""
     jev = jax.jit(eval_fn)
     place = ((lambda b: shard_host_batch(mesh, b, PartitionSpec()))
              if mesh is not None else (lambda b: b))
+    jfwd = jax.jit(media_fwd) if media_fwd is not None else None
 
-    def valid_fn(state):
+    def valid_fn(state, logger=None, steps: int = 0):
         vals = [jev(params_fn(state), place(b)) for b in val_batches]
+        if jfwd is not None and logger is not None and val_batches:
+            out = jfwd(params_fn(state), place(val_batches[0]))
+            y = out[0] if isinstance(out, tuple) else out
+            wav = np.asarray(y[0, 0], np.float32)
+            logger.audio("validation/audio", wav, steps,
+                         sample_rate or 22050)
+            if media_mel is not None:
+                from ..ops.mel import mel_spectrogram
+                logger.mel_figure(
+                    "validation/mel",
+                    np.asarray(mel_spectrogram(jax.numpy.asarray(wav)[None],
+                                               media_mel))[0], steps)
         if not vals:
             return {}
         return {k: float(np.mean([float(v[k]) for v in vals]))
@@ -160,6 +181,11 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
     jstep, place = _mesh_jit(step_fn, run)
     state = place(state)
     steps = int(state.step)
+    # gan_valid_fn accepts (state, logger=, steps=) for the reference's
+    # validation TB media (train.py:228-246); plain valid_fn(state)
+    # callables keep working — signature probed once
+    rich_valid = valid_fn is not None and "logger" in inspect.signature(
+        valid_fn).parameters
     with PreemptionGuard() as pre:
         for epoch in range(run.epochs):
             for batch in device_prefetch(local_batches(make_batches(epoch)),
@@ -182,7 +208,8 @@ def run_gan_training(step_fn: Callable, state, make_batches: Callable,
                     save_gan_checkpoint(ckpt, state, steps)
                 if valid_fn is not None and \
                         steps % run.validation_interval == 0:
-                    val = valid_fn(state)
+                    val = (valid_fn(state, logger=logger, steps=steps)
+                           if rich_valid else valid_fn(state))
                     for k, v in val.items():
                         logger.scalar(f"validation/{k}", v, steps)
                 if run.training_steps and steps >= run.training_steps:

@@ -43,12 +43,19 @@ def test_train_hifigan_cli_vanilla(tmp_path, wavdir22):
         "--wavs", str(wavdir22), "--config", str(cfgp),
         "--filelist", str(tmp_path / "train.txt"),
         "--valid-filelist", str(tmp_path / "val.txt"),
-        "--validation-interval", "1",
+        "--validation-interval", "1", "--log-dir", str(tmp_path / "tb"),
         "--checkpoint-path", str(ckpt), "--segment-size", "512",
         "--batch-size", "2", "--epochs", "1"])
     names = {p.name for p in ckpt.iterdir()}
     assert any(n.startswith("g_") for n in names), names
     assert any(n.startswith("do_") for n in names), names
+    # the sweep wrote its scalar AND the reference's TB media
+    # (train.py:228-246): synthesized validation audio + mel figure
+    blob = b"".join(p.read_bytes()
+                    for p in (tmp_path / "tb").glob("events.out.tfevents.*"))
+    for tag in (b"validation/mel_error", b"validation/audio",
+                b"validation/mel"):
+        assert tag in blob, tag
 
 
 def test_train_hifigan_cli_modified(tmp_path, wavdir22, rng):
