@@ -27,6 +27,7 @@ setup(
             "sit-prep = speech_inpainting_tpu.cli.prep:main",
             "sit-vocode = speech_inpainting_tpu.cli.vocode:main",
             "sit-export = speech_inpainting_tpu.cli.export_aot:main",
+            "sit-score = speech_inpainting_tpu.cli.score:main",
         ]
     },
 )

@@ -249,18 +249,17 @@ def test_train_da_cli(tmp_path, rng):
     assert any(n.startswith("do_") for n in names), names
 
 
-def test_inpaint_da_cli(tmp_path, rng):
-    """The I_da inpainting driver end-to-end from real artifact formats:
-    a torch g_* CodeGenerator checkpoint (converted on load), a local HF
-    HuBERT checkpoint dir, and .npy centroids — emits the reference's
-    {name}_gt/_masked_{ms}/_gen/_inpainted_{ms}.wav artifact set."""
+def make_ida_cli_stack(tmp_path, rng):
+    """Real I_da artifact formats for CLI smoke tests: a torch g_*
+    CodeGenerator checkpoint, a local HF HuBERT dir, .npy centroids, a
+    config JSON, and a tone wav. Shared by the inpaint-da and
+    predict-asr (donor leg) CLIs."""
     import torch
     from transformers import HubertConfig as HFConfig
     from transformers import HubertModel as HFHubert
     from reference_loader import AttrDict, ref_ida_modules, seed_all
     from test_codegen import F0Q, VQ, make_ref_fo_vqvae
     from test_hubert import TINY_BASE
-    from speech_inpainting_tpu.cli import inpaint_da
 
     seed_all()
     _, _, _, model = ref_ida_modules()
@@ -290,8 +289,20 @@ def test_inpaint_da_cli(tmp_path, rng):
     t = np.arange(35200) / 16000.0
     A.save_wav(wav, (0.3 * np.sin(2 * np.pi * 130 * t)).astype(np.float32),
                16000)
+    return dict(config=cfgp, checkpoint=tmp_path / "g_00000001",
+                hubert=hub_dir, kmeans=km, wav=wav)
+
+
+def test_inpaint_da_cli(tmp_path, rng):
+    """The I_da inpainting driver end-to-end from real artifact formats —
+    emits the reference's {name}_gt/_masked_{ms}/_gen/_inpainted_{ms}.wav
+    artifact set."""
+    from speech_inpainting_tpu.cli import inpaint_da
+
+    stack = make_ida_cli_stack(tmp_path, rng)
+    cfgp, km, hub_dir = stack["config"], stack["kmeans"], stack["hubert"]
     manifest = tmp_path / "val.txt"
-    manifest.write_text(str(wav) + "\n")
+    manifest.write_text(str(stack["wav"]) + "\n")
 
     out = tmp_path / "outputs"
     inpaint_da.main([
