@@ -28,6 +28,7 @@ setup(
             "sit-vocode = speech_inpainting_tpu.cli.vocode:main",
             "sit-export = speech_inpainting_tpu.cli.export_aot:main",
             "sit-score = speech_inpainting_tpu.cli.score:main",
+            "sit-predict-asr = speech_inpainting_tpu.cli.predict_asr:main",
         ]
     },
 )

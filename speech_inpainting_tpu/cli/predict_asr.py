@@ -16,9 +16,12 @@ step_asr/step_tts switches):
                        (speaker-conditioned, acoustically independent of
                        the donor waveform)
 
-Artifacts (named as the reference writes them, predict_asr.py:69-231):
-orig.wav, speaker_wav.wav, output_tts.wav, mask_synth_stretched.wav,
-inpainted.wav (cropped grid) + inpainted_with_silence.wav, transcript.txt.
+Artifacts: orig.wav, speaker_wav.wav, output_tts.wav and
+mask_synth_stretched.wav match the reference's names exactly
+(predict_asr.py:69-231); the reference's orig_inpainted.wav /
+orig_inpainted_with_silence.wav are written here as inpainted.wav
+(cropped grid) / inpainted_with_silence.wav, plus a transcript.txt the
+reference never writes — adapted names, same content.
 
   sit-predict-asr --input masked.wav --mask 1.5:1.7 --synth tts.wav \
       --out p310_026_asr

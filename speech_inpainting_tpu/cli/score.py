@@ -114,6 +114,10 @@ def main(argv=None):
     if bool(args.ref) == bool(args.ref_dir) or bool(args.ref) != bool(
             args.deg) or bool(args.ref_dir) != bool(args.deg_dir):
         p.error("give either --ref + --deg or --ref-dir + --deg-dir")
+    if args.text and args.ref_dir:
+        # One transcript can't describe a directory of different utterances
+        # — every WER/CER but one would score against the wrong text.
+        p.error("--text only applies to single-pair mode (--ref/--deg)")
 
     unit_scorer = _mel_unit_scorer(args.kmeans) if args.kmeans else None
     whisper = None
@@ -125,22 +129,29 @@ def main(argv=None):
             print("note: no local Whisper cache — WER/CER skipped "
                   "(metrics/asr.py)")
 
-    results = {}
+    files = {}
     for name, (ref, sr_r), (deg, sr_d) in _collect_pairs(args):
         if sr_r != sr_d:
             from ..data.audio import resample
             deg, sr_d = resample(deg, sr_d, sr_r), sr_r
-        results[name] = score_pair(ref, deg, sr_r, pesq_mode=args.pesq_mode,
-                                   unit_scorer=unit_scorer, whisper=whisper,
-                                   text=args.text)
-    if len(results) > 1:
-        keys = [k for k in next(iter(results.values())) if k != "asr_text"]
-        results["mean"] = {k: float(np.mean([r[k] for r in results.values()]))
+        files[name] = score_pair(ref, deg, sr_r, pesq_mode=args.pesq_mode,
+                                 unit_scorer=unit_scorer, whisper=whisper,
+                                 text=args.text)
+    # Aggregate lives in its own namespace so a file named mean.wav can
+    # never collide with it.
+    results = {"files": files}
+    if len(files) > 1:
+        keys = [k for k in next(iter(files.values())) if k != "asr_text"]
+        results["mean"] = {k: float(np.mean([r[k] for r in files.values()]))
                            for k in keys}
-    for name, r in results.items():
+    def _show(name, r):
         cols = "  ".join(f"{k}={v:.4g}" for k, v in r.items()
                          if isinstance(v, float))
         print(f"{name}: {cols}")
+    for name, r in files.items():
+        _show(name, r)
+    if "mean" in results:
+        _show("mean", results["mean"])
     if args.json:
         Path(args.json).write_text(json.dumps(results, indent=1))
     return results

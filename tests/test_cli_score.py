@@ -45,15 +45,17 @@ def test_score_cli_pair_and_dirs(tmp_path, rng):
         A.save_wav(gt / f"{name}.wav", ref, SR)
         A.save_wav(out / f"{name}.wav", w, SR)
     res = S.main(["--ref", str(gt / "a.wav"), "--deg", str(out / "b.wav")])
-    assert set(res) == {"b"} and res["b"]["pesq"] < 4.0
+    assert set(res["files"]) == {"b"} and res["files"]["b"]["pesq"] < 4.0
 
     jpath = tmp_path / "scores.json"
     res = S.main(["--ref-dir", str(gt), "--deg-dir", str(out),
                   "--json", str(jpath)])
-    assert set(res) == {"a", "b", "mean"}
-    assert res["a"]["si_sdr"] > res["b"]["si_sdr"]
+    files = res["files"]
+    # aggregate is namespaced: a degraded file named mean.wav can't collide
+    assert set(res) == {"files", "mean"} and set(files) == {"a", "b"}
+    assert files["a"]["si_sdr"] > files["b"]["si_sdr"]
     assert res["mean"]["pesq"] == pytest.approx(
-        (res["a"]["pesq"] + res["b"]["pesq"]) / 2)
+        (files["a"]["pesq"] + files["b"]["pesq"]) / 2)
     assert json.loads(jpath.read_text())["mean"]["stoi"] == pytest.approx(
         res["mean"]["stoi"])
 
@@ -70,10 +72,13 @@ def test_score_cli_uer_and_arg_errors(tmp_path, rng):
     np.save(km, rng.standard_normal((8, 80)).astype(np.float32))
     res = S.main(["--ref", str(tmp_path / "r.wav"),
                   "--deg", str(tmp_path / "d.wav"), "--kmeans", str(km)])
-    assert 0.0 < res["d"]["uer"] <= 2.0  # reordered units ⇒ real edit cost
+    assert 0.0 < res["files"]["d"]["uer"] <= 2.0  # real edit cost
 
     with pytest.raises(SystemExit):   # pair XOR dirs
         S.main(["--ref", str(tmp_path / "r.wav")])
+    with pytest.raises(SystemExit):   # one transcript can't score a dir
+        S.main(["--ref-dir", str(tmp_path), "--deg-dir", str(tmp_path),
+                "--text", "hello"])
     with pytest.raises(SystemExit):   # unmatched degraded filename
         (tmp_path / "only_deg").mkdir()
         (tmp_path / "empty_ref").mkdir()
