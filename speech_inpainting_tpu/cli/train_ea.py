@@ -78,6 +78,14 @@ def main(argv=None):
     p.add_argument("--skip-nonfinite", type=int, default=0, metavar="N",
                    help="never apply nan/inf-grad updates; abort (after "
                         "checkpointing) past N consecutive skips")
+    p.add_argument("--bf16", dest="bf16", action="store_true", default=True,
+                   help="bf16 matmul/conv compute, f32 params/reductions "
+                        "(the default: +7%% steps/s on a compute-bound step, "
+                        "BENCH_TRAIN_r03.json; convergence pinned by "
+                        "test_ea_bf16_step_tracks_f32)")
+    p.add_argument("--f32", dest="bf16", action="store_false",
+                   help="full-f32 compute (the reference's precision, "
+                        "I_ea/main.py:144-266)")
     p.add_argument("--seed", type=int, default=1234)
     from ..parallel.distributed import add_cli_args, initialize_from_args
     add_cli_args(p)
@@ -97,8 +105,9 @@ def main(argv=None):
                    mask_length=args.mask_length,
                    grad_accum=args.grad_accum,
                    skip_nonfinite=args.skip_nonfinite)
-    hcfg = (HubertConfig.large() if args.hubert_type == "large"
-            else HubertConfig.base())
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    hcfg = (HubertConfig.large(dtype=dtype) if args.hubert_type == "large"
+            else HubertConfig.base(dtype=dtype))
     model = EncoderWithHead(hcfg, out_dim=out_dim)
     max_length = int(args.max_wav_seconds * 16000) + 3   # ref 161539 ≈ 5 s
 

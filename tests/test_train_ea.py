@@ -52,6 +52,43 @@ def test_train_step_improves_loss(rng, loss):
     assert 0.0 <= float(m["acc"]) <= 1.0
 
 
+def test_ea_bf16_step_tracks_f32(rng):
+    """HubertConfig(dtype=bf16) — bf16 matmul/conv compute, f32 params and
+    loss reductions — must track the f32 EA step: same param tree, losses
+    within bf16 tolerance, updated params close, still learns. Pins the
+    sit-train-ea bf16 DEFAULT (+7% steps/s measured compute-bound,
+    BENCH_TRAIN_r03.json; reference trains f32, I_ea/main.py:144-266)."""
+    cfg = EAConfig(mask_length=3, base_lr=1e-3, fc_lr=1e-3)
+    centroids = rng.standard_normal((10, 8)).astype(np.float32)
+    batch = make_batch(rng, cfg)
+    params = EncoderWithHead(TINY, out_dim=8).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+    results = []
+    for dtype in (jnp.float32, jnp.bfloat16):
+        import dataclasses
+        model = EncoderWithHead(dataclasses.replace(TINY, dtype=dtype),
+                                out_dim=8)
+        step = jax.jit(make_train_step(model, cfg, centroids))
+        state = create_state(cfg, params)
+        state, m = step(state, batch)
+        results.append((step, state, m))
+    (_, s0, m0), (stepb, s1, m1) = results
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree_util.tree_leaves(s1.params))
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=2e-2)
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s0.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   err_msg=str(ka))
+    state, mfirst = s1, m1
+    for _ in range(12):
+        state, m = stepb(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(mfirst["loss"])
+
+
 def test_ea_bucketed_step_close_to_full_padding(rng):
     """Bucketed padding (data/ea_dataset.py batches(buckets=...)) is the
     per-batch dynamic padding torch/HF pipelines use, with the same inherited
