@@ -639,6 +639,11 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
                 "estoi": float(stoi(gt[:n], est[:n], 16000, extended=True)),
                 "si_sdr": float(si_sdr(est[:n], gt[:n])),
                 "uer": float(scorer.uer(gt[:n], est[:n], 16000)),
+                # masked-span UER (metrics/units.py): the discriminative
+                # intelligibility column for I_da — full-sequence UER
+                # saturates under whole-waveform resynthesis (r3 verdict #3)
+                "uer_mask": float(scorer.masked_uer(
+                    gt[:n], est[:n], 16000, (1.5, 1.5 + ms / 1000.0))),
                 "rtf": float(o["rtf"]),
             }
             print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
@@ -715,6 +720,8 @@ def stage_baseline(out, wavs16):
                 "estoi": float(stoi(w[:n], est[:n], sr, extended=True)),
                 "si_sdr": float(si_sdr(est[:n], w[:n])),
                 "uer": float(scorer.uer(w[:n], est[:n], sr)),
+                "uer_mask": float(scorer.masked_uer(
+                    w[:n], est[:n], sr, (1.5, 1.5 + ms / 1000.0))),
             }
             print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
     agg = {}

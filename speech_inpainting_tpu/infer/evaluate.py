@@ -78,7 +78,10 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
 
     `unit_scorer` (metrics.units.UnitScorer) adds `uer` — the unit error
     rate of the inpainted vs clean waveform, the offline stand-in for the
-    reference's Whisper WER/CER column (I_ea/metrics.py:80-119).
+    reference's Whisper WER/CER column (I_ea/metrics.py:80-119) — and
+    `uer_mask`, the same edit distance restricted to the masked span
+    (metrics.units.masked_unit_error_rate): the discriminative variant for
+    systems that resynthesize the whole waveform.
     """
     n = len(positions_samples)
     mask_len_frames = mask_ms // 20
@@ -110,7 +113,7 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
               "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": [],
               "pesq_vs_exp": [], "stoi_vs_exp": [], "estoi_vs_exp": [],
               "si_sdr_vs_exp": [], "unit_acc": [], "mel_l1_mask": [],
-              "uer": []}
+              "uer": [], "uer_mask": []}
     ref_units = unit_scorer.units(ref, 22050) if unit_scorer else None
     for i in range(n):
         est = inpainted[i]
@@ -146,9 +149,14 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
             scores["wer"].append(w)
             scores["cer"].append(c)
         if unit_scorer is not None:
-            from ..metrics.units import unit_error_rate
-            scores["uer"].append(unit_error_rate(
-                ref_units, unit_scorer.units(est, 22050)))
+            from ..metrics.units import (masked_unit_error_rate,
+                                         unit_error_rate)
+            est_units = unit_scorer.units(est, 22050)
+            scores["uer"].append(unit_error_rate(ref_units, est_units))
+            # mask span on the 50 fps unit grid == the mel frame span
+            p, L = int(mask_pos[i]), mask_len_frames
+            scores["uer_mask"].append(masked_unit_error_rate(
+                ref_units, est_units, (p, p + L)))
     return {k: float(np.mean(v)) for k, v in scores.items() if v}
 
 

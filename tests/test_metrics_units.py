@@ -9,6 +9,7 @@ import pytest
 
 from speech_inpainting_tpu.metrics.units import (UnitScorer, collapse_runs,
                                                  levenshtein,
+                                                 masked_unit_error_rate,
                                                  unit_error_rate)
 
 
@@ -57,6 +58,56 @@ def test_uer_normalization_and_collapse():
     assert unit_error_rate([1, 1, 2, 3], [1, 2, 2, 2, 3]) == 0.0
     assert unit_error_rate([1, 2, 3], [1, 5, 3]) == pytest.approx(1 / 3)
     assert unit_error_rate([], []) == 0.0
+
+
+def test_masked_uer_discriminative_under_resynthesis_noise(rng):
+    """The r3-verdict pin: a content corruption INSIDE the masked span must
+    move masked-span UER, while resynthesis-style noise (duration jitter +
+    content drift OUTSIDE the span — what saturates full-sequence UER on
+    I_da rows) must not."""
+    units = rng.integers(0, 40, 400).astype(np.int64)
+    span = (150, 200)
+
+    def resynth_noise(u):
+        """Whole-waveform resynthesis as seen by a re-encoder: unit
+        durations jitter (run lengths change — free after collapse) and
+        units OUTSIDE the span drift to other ids."""
+        out = []
+        for i, x in enumerate(u):
+            reps = 1 + (int(rng.integers(0, 3)) == 0)   # duration jitter
+            if not span[0] <= i < span[1] and rng.random() < 0.5:
+                x = int(rng.integers(0, 40))            # out-of-span drift
+            out.extend([x] * reps)
+        return np.asarray(out)
+
+    # full-sequence UER saturates under out-of-span drift alone...
+    noisy = resynth_noise(units)
+    assert unit_error_rate(units, noisy) > 0.3
+    # ...but masked-span UER does not (duration jitter collapses away;
+    # margin frames admit a little boundary flicker)
+    clean_in_span = masked_unit_error_rate(units, units.copy(), span)
+    assert clean_in_span == 0.0
+    in_span_only = units.copy()   # corrupt ONLY inside the span
+    in_span_only[span[0]:span[1]] = rng.integers(0, 40, span[1] - span[0])
+    corrupted = masked_unit_error_rate(units, in_span_only, span)
+    drifted = masked_unit_error_rate(units, units.copy(), span, margin=0)
+    assert corrupted > 0.5 > drifted == 0.0
+
+
+def test_unit_scorer_masked_uer_span_seconds():
+    """UnitScorer.masked_uer converts a seconds span on the 50 fps grid and
+    scores only that window."""
+    def encode(w16):                       # 20 ms frame-mean sign units
+        n = (len(w16) // 320) * 320
+        return (w16[:n].reshape(-1, 320).mean(1) > 0).astype(np.int32)
+
+    sc = UnitScorer(encode)
+    t = np.arange(32000) / 16000.0
+    ref = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+    est = ref.copy()
+    est[8000:16000] = 0.25                 # corrupt 0.5-1.0 s only
+    assert sc.masked_uer(ref, est, 16000, (0.5, 1.0)) > 0.3
+    assert sc.masked_uer(ref, est, 16000, (1.25, 1.95)) == 0.0
 
 
 def test_unit_scorer_resamples_and_scores():
