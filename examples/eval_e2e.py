@@ -108,6 +108,56 @@ def augment_wavs(wavs, rates=(0.9, 0.95, 1.05, 1.1)):
     return out
 
 
+def pseudo_speaker_wavs(wavs16, tempo_jitter=(0.93, 1.07)):
+    """K=5 pseudo-speakers from voice-transform families (r4 verdict #2).
+
+    The multispkr embedding path (models/codegen.py, reference
+    I_da/src/model.py:127-143) has only ever seen 1 speaker here — the
+    I_da holdout table sits on a one-speaker generalization floor. Each
+    transform family below is a distinct fake voice (distinct `spkr` id):
+
+      s0 identity
+      s1/s2 resample ±12% — pitch AND formants shift together (a deeper /
+            smaller-sounding speaker)
+      s3/s4 WSOLA-stretch-then-resample ±15% — pitch+formant shift at
+            PRESERVED duration (a different voice saying the same thing at
+            the same speed; ops/dsp.py wsola)
+
+    Within each family, WSOLA tempo jitter adds same-voice copies (tempo
+    carries no identity). Returns ({name: wav16}, {name: spkr_id}).
+    """
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    from speech_inpainting_tpu.ops.dsp import wsola
+
+    def rs(w, r):   # speed r: duration x1/r, pitch/formants x r
+        fr = Fraction(r).limit_denominator(50)
+        return resample_poly(w, fr.denominator,
+                             fr.numerator).astype(np.float32)
+
+    fams = {
+        0: lambda w: w,
+        1: lambda w: rs(w, 0.88),
+        2: lambda w: rs(w, 1.12),
+        3: lambda w: rs(wsola(w, 0.85), 0.85),
+        4: lambda w: rs(wsola(w, 1.15), 1.15),
+    }
+    out, spk = {}, {}
+    for name, w in wavs16.items():
+        for sid, f in fams.items():
+            base = np.asarray(f(np.asarray(w, np.float32)), np.float32)
+            variants = {"": base}
+            for t in tempo_jitter:
+                variants[f"~{t}"] = wsola(base, t).astype(np.float32)
+            for suf, v in variants.items():
+                key = f"{name}#s{sid}{suf}"
+                out[key] = v
+                spk[key] = sid
+    return out, spk
+
+
 def small_hubert():
     from speech_inpainting_tpu.models.hubert import HubertConfig
     return HubertConfig(conv_dim=(128,) * 7, hidden_size=256,
@@ -116,7 +166,11 @@ def small_hubert():
                         num_conv_pos_embedding_groups=4)
 
 
-def small_codegen(fo_cfg):
+def small_codegen(fo_cfg, n_spk=0):
+    """``n_spk`` > 0 switches on the Embedding-table speaker path
+    (model.py:127-143 semantics) for the pseudo-speaker regime — the
+    speaker embedding concatenates onto content+f0, so in_dim grows by
+    embedding_dim."""
     from speech_inpainting_tpu.models.codegen import CodeGeneratorConfig
     from speech_inpainting_tpu.models.hifigan import HiFiGANConfig
     # kernel 11 for rate 5: an even kernel with an odd rate yields T*5+1
@@ -126,9 +180,11 @@ def small_codegen(fo_cfg):
                          upsample_initial_channel=192,
                          resblock_kernel_sizes=(3, 7),
                          resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
-                         in_dim=256, sampling_rate=16000)
+                         in_dim=256 + (128 if n_spk else 0),
+                         sampling_rate=16000)
     return CodeGeneratorConfig(hifigan=hifi, num_embeddings=100,
-                               embedding_dim=128, multispkr=False,
+                               embedding_dim=128, multispkr=bool(n_spk),
+                               spk_embeddings=max(n_spk, 1),
                                use_f0=True, external_speaker_emb=False,
                                f0_quantizer=fo_cfg)
 
@@ -165,7 +221,14 @@ def stage_kmeans(out, wavs22):
     _save(out / "centroids.pkl", centroids)
 
 
-def stage_hifigan(out, wavs22, steps, extend=False):
+def _family_prefix(family):
+    """Artifact naming: the iSTFT family keeps the unprefixed names every
+    earlier round wrote; the V1 twin gets hifigan_v1_*."""
+    assert family in ("istft", "v1"), family
+    return "hifigan_" if family == "istft" else "hifigan_v1_"
+
+
+def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
     """Modified decoder fine-tune regime, from scratch: random 44288-sample
     crops, in-graph centroid substitution of a random 20-frame span
     (train_modified.py semantics, segment 44288 / mask_len 20).
@@ -176,15 +239,21 @@ def stage_hifigan(out, wavs22, steps, extend=False):
     the regime where mask-length degradation is visible. Discriminators run
     batched (real+fake as one 2B forward — bit-identical, faster).
 
+    r4 (verdict #1): ``family`` selects the vocoder head — "istft" (the
+    fast family) or "v1" (the reference's conv-transpose tail,
+    I_ea/hifi_gan/models.py:12-96 geometry at this width). Both train from
+    the SAME centroids/data/seed/recipe, giving the same-lineage pair the
+    two-family quality gate compares.
+
     With ``extend``, restores the FULL GAN state (generator, discriminators,
     optimizers, step — the train_modified.py g_/do_ resume semantics,
-    reference I_ea/hifi_gan/train.py:62-80) from ``hifigan_state.pkl`` and
+    reference I_ea/hifi_gan/train.py:62-80) from ``<family>_state.pkl`` and
     trains ``steps`` more, so successive eval rounds can deepen the vocoder
     without repaying the from-scratch schedule."""
     import jax
     import jax.numpy as jnp
     from speech_inpainting_tpu.models.hifigan import (
-        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+        Generator, MultiPeriodDiscriminator, MultiScaleDiscriminator)
     from speech_inpainting_tpu.models.hifigan_istft import ISTFTGenerator
     from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
     from speech_inpainting_tpu.train.hifigan import (HiFiGANTrainConfig,
@@ -192,8 +261,9 @@ def stage_hifigan(out, wavs22, steps, extend=False):
     from speech_inpainting_tpu.utils.timing import force
 
     centroids = _load(out / "centroids.pkl")
-    icfg = small_istft_22k()
-    gen = ISTFTGenerator(icfg)
+    pre = _family_prefix(family)
+    gen = (ISTFTGenerator(small_istft_22k()) if family == "istft"
+           else Generator(small_hifigan_22k()))
     seg, B, mask_len = 44288, 4, 20
     tcfg = HiFiGANTrainConfig(
         gan=GANConfig(steps_per_epoch=1000, batched_disc=True),
@@ -204,14 +274,15 @@ def stage_hifigan(out, wavs22, steps, extend=False):
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
-    if extend and (out / "hifigan_state.pkl").exists():
-        state = _load(out / "hifigan_state.pkl")
-        print(f"hifigan: extending from step {int(state.step)}")
-    elif extend and (out / "hifigan_g.pkl").exists():
+    if extend and (out / f"{pre}state.pkl").exists():
+        state = _load(out / f"{pre}state.pkl")
+        print(f"hifigan[{family}]: extending from step {int(state.step)}")
+    elif extend and (out / f"{pre}g.pkl").exists():
         # generator-only warm start with fresh discriminators — the
         # reference's --warm-start recipe (train_modified.py:72-93)
-        state = state.replace(g_params=_load(out / "hifigan_g.pkl"))
-        print("hifigan: warm-starting generator only (no full state saved)")
+        state = state.replace(g_params=_load(out / f"{pre}g.pkl"))
+        print(f"hifigan[{family}]: warm-starting generator only "
+              "(no full state saved)")
     step = jax.jit(make_modified_step(tcfg, centroids, generator=gen))
 
     cat = np.concatenate(list(augment_wavs(wavs22).values()))
@@ -228,19 +299,21 @@ def stage_hifigan(out, wavs22, steps, extend=False):
     t0 = time.perf_counter()
     state, m = step(state, batch())
     force(m)
-    print(f"hifigan: compile {time.perf_counter() - t0:.0f}s")
+    print(f"hifigan[{family}]: compile {time.perf_counter() - t0:.0f}s")
     t0, m0 = time.perf_counter(), float(m["mel_error"])
     for i in range(1, steps):
         state, m = step(state, batch())
         if i % 200 == 0:
             force(m)
-            print(f"hifigan step {i}: mel_error {float(m['mel_error']):.3f} "
+            print(f"hifigan[{family}] step {i}: mel_error "
+                  f"{float(m['mel_error']):.3f} "
                   f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
     force(m)
-    print(f"hifigan: mel_error {m0:.3f} -> {float(m['mel_error']):.3f} "
-          f"in {steps} steps (total {int(state.step)})")
-    _save(out / "hifigan_g.pkl", state.g_params)
-    _save(out / "hifigan_state.pkl", state)
+    print(f"hifigan[{family}]: mel_error {m0:.3f} -> "
+          f"{float(m['mel_error']):.3f} in {steps} steps "
+          f"(total {int(state.step)})")
+    _save(out / f"{pre}g.pkl", state.g_params)
+    _save(out / f"{pre}state.pkl", state)
 
 
 def stage_ea(out, wavs22, wavs16, steps, holdout=None):
@@ -340,10 +413,14 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     _save(out / "ea_params.pkl", state.params)
 
 
-def stage_eval_ea(out, wavs22, wavs16, holdout=None):
+def stage_eval_ea(out, wavs22, wavs16, holdout=None, family="istft"):
     """The I_ea mask-sweep protocol with the trained stack. Oracle label
     tracks (the reference's <wav>_labels.pt role) enable the vs-expected
-    metrics that isolate inpainting error from vocoder quality."""
+    metrics that isolate inpainting error from vocoder quality.
+
+    ``family`` picks the vocoder head trained by stage_hifigan(family=...)
+    — the same-lineage pair (identical encoder/centroids/sweep) whose
+    side-by-side table is the r4 vocoder quality gate (verdict #1)."""
     import jax.numpy as jnp
     from speech_inpainting_tpu.infer.inpaint import (InformedInpainter,
                                                      InpainterConfig)
@@ -357,11 +434,13 @@ def stage_eval_ea(out, wavs22, wavs16, holdout=None):
         wavs22 = {holdout: wavs22[holdout]}
         wavs16 = {holdout: wavs16[holdout]}
     hp = _load(out / "ea_params.pkl")
-    gp = _load(out / "hifigan_g.pkl")
+    gp = _load(out / f"{_family_prefix(family)}g.pkl")
     centroids = _load(out / "centroids.pkl")
     inp = InformedInpainter(
         InpainterConfig(hubert=small_hubert(), hifigan=small_hifigan_22k()),
-        hp, gp, centroids, generator=ISTFTGenerator(small_istft_22k()))
+        hp, gp, centroids,
+        generator=(ISTFTGenerator(small_istft_22k())
+                   if family == "istft" else None))
     labels = {name: np.asarray(assign(
         jnp.asarray(np.asarray(mel_spectrogram(
             jnp.asarray(w), HUBERT_ALIGNED_MEL_22K)).T),
@@ -382,16 +461,19 @@ def stage_eval_ea(out, wavs22, wavs16, holdout=None):
                              unit_scorer=scorer)
     results["protocol"] = ("I_ea mask_pos_len: {20..400}ms x 20 positions, "
                            "informed inpainting; uer = unit error rate vs "
-                           "clean (offline WER proxy, metrics/units.py)")
-    fname = "eval_ea.json"
+                           "clean (offline WER proxy, metrics/units.py)"
+                           f"; vocoder family: {family}")
+    fname = ("eval_ea.json" if family == "istft"
+             else f"eval_ea_{family}.json")
     if holdout is not None:
         results["holdout"] = holdout
         results["mean_holdout"] = results[holdout]
         results["protocol"] += (
             f"; encoder trained with {holdout} HELD OUT (generalization "
             "sweep — mean_holdout is the held-out utterance's table)")
-        fname = "eval_ea_holdout.json"
-    print(f"eval_ea done in {time.perf_counter() - t0:.0f}s")
+        fname = ("eval_ea_holdout.json" if family == "istft"
+                 else f"eval_ea_holdout_{family}.json")
+    print(f"eval_ea[{family}] done in {time.perf_counter() - t0:.0f}s")
     with open(out / fname, "w") as f:
         json.dump(results, f, indent=2)
     for ms, mtr in sorted(results["mean"].items()):
@@ -399,7 +481,16 @@ def stage_eval_ea(out, wavs22, wavs16, holdout=None):
             f"{k}={v:.3f}" for k, v in mtr.items()))
 
 
-def stage_feats(out, wavs16):
+def _da_training_wavs(wavs16, pseudo):
+    """Training copies for the I_da stages: pitch/speed augmentations
+    (single-speaker regime) or the K-pseudo-speaker transform families
+    (multispkr regime, r4 verdict #2). Returns (wavs, spkr-ids or None)."""
+    if pseudo:
+        return pseudo_speaker_wavs(wavs16)
+    return augment_wavs(wavs16), None
+
+
+def stage_feats(out, wavs16, pseudo=0):
     """Frozen-encoder features -> content units (the I_da k-means over
     HuBERT layer features, cluster_kmeans.py semantics). Pass pre-filtered
     wavs16 (minus any held-out utterance) for the generalization leg; fits
@@ -411,9 +502,10 @@ def stage_feats(out, wavs16):
     hp = _load(out / "ea_params.pkl")
     model = HubertModel(small_hubert())
     tap = 2
+    wavs, _ = _da_training_wavs(wavs16, pseudo)
     feats = {name: np.asarray(model.apply(
         {"params": hp["hubert"]}, jnp.asarray(w)[None], tap_layer=tap)[0])
-        for name, w in augment_wavs(wavs16).items()}
+        for name, w in wavs.items()}
     allf = np.concatenate(list(feats.values()))
     centroids, inertia = fit_kmeans(allf, 100, iters=30, n_init=3)
     print(f"feats: {allf.shape} -> 100 unit centroids, "
@@ -421,7 +513,7 @@ def stage_feats(out, wavs16):
     _save(out / "unit_centroids.pkl", {"centroids": centroids, "tap": tap})
 
 
-def stage_f0vq(out, wavs16, steps):
+def stage_f0vq(out, wavs16, steps, pseudo=0):
     """f0-VQVAE training (train_f0_vq.py semantics) on device-tracked f0 of
     pitch/speed-augmented copies (diversifies the pitch range the one-or-two
     training utterances cover)."""
@@ -436,7 +528,7 @@ def stage_f0vq(out, wavs16, steps):
 
     cfg = fo_vqvae_cfg()
     f0s = []
-    for w in augment_wavs(wavs16).values():
+    for w in _da_training_wavs(wavs16, pseudo)[0].values():
         f0 = np.asarray(extract_f0(jnp.asarray(w)))
         f0 = np.asarray(normalize_nonzero(jnp.asarray(f0),
                                           float(f0.mean()),
@@ -477,7 +569,7 @@ def stage_f0vq(out, wavs16, steps):
     _save(out / "f0vq.pkl", {"params": state.params, "vq": state.vq})
 
 
-def stage_da(out, wavs16, steps, extend=False):
+def stage_da(out, wavs16, steps, extend=False, pseudo=0):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
     trained content units + frozen f0-VQVAE pitch units -> waveform.
 
@@ -486,6 +578,12 @@ def stage_da(out, wavs16, steps, extend=False):
     decoder's generalization floor (STATUS r3 known-gaps): I_da
     resynthesizes the ENTIRE waveform from units, so decoder overfit to a
     single utterance degrades every held-out score.
+
+    ``pseudo`` = K > 0 switches to the MULTISPEAKER regime (r4 verdict #2):
+    training copies come from pseudo_speaker_wavs (K voice-transform
+    families as distinct spkr ids), the CodeGenerator runs the
+    Embedding-table speaker path (model.py:127-143), and batches carry
+    spkr ids. ``da_meta.json`` records the regime for the eval stages.
 
     With ``extend``, restores the full GAN state from ``da_state.pkl``
     (same g_/do_ resume semantics as stage_hifigan) and trains ``steps``
@@ -507,12 +605,13 @@ def stage_da(out, wavs16, steps, extend=False):
     fovq = _load(out / "f0vq.pkl")
     hp = _load(out / "ea_params.pkl")
     fo_cfg = fo_vqvae_cfg()
-    cg_cfg = small_codegen(fo_cfg)
+    cg_cfg = small_codegen(fo_cfg, n_spk=pseudo)
     hub = HubertModel(small_hubert())
+    train_wavs, spk_ids = _da_training_wavs(wavs16, pseudo)
 
     # per-utterance aligned streams: units (hop 320), f0 (hop 80), audio
     streams = {}
-    for name, w in augment_wavs(wavs16).items():
+    for name, w in train_wavs.items():
         units = np.asarray(assign(
             np.asarray(hub.apply({"params": hp["hubert"]},
                                  jnp.asarray(w)[None],
@@ -528,7 +627,8 @@ def stage_da(out, wavs16, steps, extend=False):
     seg, B = 8960, 8                     # 28 code frames (reference 8960)
     F, Ff = seg // 320, seg // 80
     v = cg.init(jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.int32),
-                f0=jnp.zeros((1, 1, Ff)), spkr=None)
+                f0=jnp.zeros((1, 1, Ff)),
+                spkr=jnp.zeros((1, 1), jnp.int32) if pseudo else None)
     g_params = dict(v["params"])
     g_params["fo_vqvae"] = fovq["params"]       # trained, then frozen
     vq_tree = {"fo_vqvae": fovq["vq"]}
@@ -540,6 +640,13 @@ def stage_da(out, wavs16, steps, extend=False):
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(gan, g_params, dp, sv["params"], sv["spectral"])
+    if extend and (out / "da_meta.json").exists():
+        prior = json.loads((out / "da_meta.json").read_text())
+        if prior.get("n_spk", 0) != pseudo:
+            raise SystemExit(
+                f"--extend with --pseudo-speakers {pseudo} but the saved "
+                f"state was trained with n_spk={prior.get('n_spk', 0)} — "
+                "param shapes differ; use a fresh --out")
     if extend and (out / "da_state.pkl").exists():
         state = _load(out / "da_state.pkl")
         print(f"da: extending from step {int(state.step)}")
@@ -559,14 +666,21 @@ def stage_da(out, wavs16, steps, extend=False):
         code = np.zeros((B, F), np.int32)
         f0 = np.zeros((B, 1, Ff), np.float32)
         audio = np.zeros((B, 1, seg), np.float32)
+        spkr = np.zeros((B,), np.int32)
         for b in range(B):
-            u, f, w = streams[names[rng.integers(len(names))]]
+            name = names[rng.integers(len(names))]
+            u, f, w = streams[name]
             s = rng.integers(0, len(u) - F)
             code[b] = u[s:s + F]
             f0[b, 0] = f[s * 4:s * 4 + Ff]
             audio[b, 0] = w[s * 320:s * 320 + seg]
-        return {"code": jnp.asarray(code), "f0": jnp.asarray(f0),
-                "audio": jnp.asarray(audio)}
+            if spk_ids is not None:
+                spkr[b] = spk_ids[name]
+        out_b = {"code": jnp.asarray(code), "f0": jnp.asarray(f0),
+                 "audio": jnp.asarray(audio)}
+        if spk_ids is not None:
+            out_b["spkr"] = jnp.asarray(spkr)
+        return out_b
 
     t0 = time.perf_counter()
     state, m = step(state, batch())
@@ -584,6 +698,16 @@ def stage_da(out, wavs16, steps, extend=False):
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
     _save(out / "da_state.pkl", state)
+    (out / "da_meta.json").write_text(json.dumps({"n_spk": pseudo}))
+
+
+def _da_n_spk(out):
+    """Speaker regime the saved I_da decoder was trained with (da_meta.json
+    written by stage_da; absent = the single-speaker artifacts of earlier
+    rounds)."""
+    if (out / "da_meta.json").exists():
+        return json.loads((out / "da_meta.json").read_text()).get("n_spk", 0)
+    return 0
 
 
 def _hubert_unit_scorer(inp):
@@ -618,10 +742,14 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
     hp = _load(out / "ea_params.pkl")
     cg_params = _load(out / "da_g.pkl")
     fovq = _load(out / "f0vq.pkl")
-    inp = IdaInpainter(small_codegen(fo_vqvae_cfg()), cg_params,
+    n_spk = _da_n_spk(out)
+    inp = IdaInpainter(small_codegen(fo_vqvae_cfg(), n_spk=n_spk), cg_params,
                        {"fo_vqvae": fovq["vq"]}, small_hubert(),
                        hp["hubert"], units_d["centroids"],
                        tap_layer=units_d["tap"])
+    # pseudo-speaker regime: the evaluated utterance is the UNTRANSFORMED
+    # voice — condition on the identity family's spkr id (0)
+    spkr = 0 if n_spk else None
     scorer = _hubert_unit_scorer(inp)
     results = {}
     for name, w in wavs16.items():
@@ -629,8 +757,8 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
         for ms in (100, 200, 300, 400):
             # warm-up: the first call per mask length pays the XLA compile,
             # which would otherwise contaminate the committed RTF
-            inp(w, mask_size=ms * 16)
-            o = inp(w, mask_size=ms * 16)
+            inp(w, mask_size=ms * 16, spkr=spkr)
+            o = inp(w, mask_size=ms * 16, spkr=spkr)
             gt, est = o["audio_gt"], o["audio_inpainted"]
             n = min(len(gt), len(est))
             results[name][ms] = {
@@ -656,6 +784,11 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
                        for ms, d in agg.items()}
     results["protocol"] = ("I_da inpainting: {100..400}ms at fixed 1.5s, "
                            "informed splice")
+    if n_spk:
+        results["protocol"] += (
+            f"; decoder trained MULTISPEAKER over {n_spk} pseudo-speaker "
+            "transform families (pseudo_speaker_wavs), eval conditioned "
+            "on the identity family's spkr id")
     results["rtf_note"] = (
         "per-utterance RTF here is tunnel-dispatch-bound (~30 ms floor per "
         "dispatch through the remote TPU link) — a protocol measurement, "
@@ -694,11 +827,12 @@ def stage_baseline(out, wavs16):
     hp = _load(out / "ea_params.pkl")
     cg_params = _load(out / "da_g.pkl")
     fovq = _load(out / "f0vq.pkl")
-    inp = IdaInpainter(small_codegen(fo_vqvae_cfg()), cg_params,
+    n_spk = _da_n_spk(out)
+    inp = IdaInpainter(small_codegen(fo_vqvae_cfg(), n_spk=n_spk), cg_params,
                        {"fo_vqvae": fovq["vq"]}, small_hubert(),
                        hp["hubert"], units_d["centroids"],
                        tap_layer=units_d["tap"])
-    tts = UnitResynthTTS(inp)
+    tts = UnitResynthTTS(inp, spkr=0 if n_spk else None)
     scorer = _hubert_unit_scorer(inp)
     sr = 16000
     results = {}
@@ -777,6 +911,37 @@ def stage_report(out, args, dest=None):
         "I_ea": {"protocol": ea["protocol"], "mean": ea["mean"]},
         "I_da": {"protocol": da["protocol"], "mean": da["mean"]},
     }
+    if (out / "eval_ea_v1.json").exists():
+        v1 = json.load(open(out / "eval_ea_v1.json"))
+        gate = {
+            "protocol": ("same-lineage two-family mask sweep (r4 verdict "
+                         "#1): identical encoder, centroids, training "
+                         "data/seed/recipe/steps — only the vocoder head "
+                         "differs (iSTFT C8C8I vs the reference V1 "
+                         "conv-transpose tail, I_ea/hifi_gan/models.py:"
+                         "12-96 geometry at width 192)"),
+            "istft_mean": ea["mean"], "v1_mean": v1["mean"],
+        }
+        if (out / "eval_ea_holdout.json").exists() and \
+                (out / "eval_ea_holdout_v1.json").exists():
+            gate["istft_holdout_mean"] = json.load(
+                open(out / "eval_ea_holdout.json"))["mean_holdout"]
+            gate["v1_holdout_mean"] = json.load(
+                open(out / "eval_ea_holdout_v1.json"))["mean_holdout"]
+        # the gate verdict: compare PESQ/ESTOI means across mask lengths
+        def _avg(mean, k):
+            return float(np.mean([m[k] for m in mean.values()]))
+        rows = list(ea["mean"].values()) + list(v1["mean"].values())
+        keys = [k for k in ("pesq", "estoi", "stoi", "lsd_d2", "uer")
+                if all(k in m for m in rows)]
+        gate["verdict"] = {
+            k: {"istft": _avg(ea["mean"], k), "v1": _avg(v1["mean"], k)}
+            for k in keys}
+        up = [k for k in ("pesq", "estoi", "stoi") if k in keys]
+        wins = sum(gate["verdict"][k]["istft"] >= gate["verdict"][k]["v1"]
+                   for k in up)
+        gate["istft_wins_quality_gate"] = bool(up and wins * 2 >= len(up))
+        report["vocoder_gate"] = gate
     if (out / "eval_ea_holdout.json").exists():
         hold = json.load(open(out / "eval_ea_holdout.json"))
         report["I_ea_holdout"] = {
@@ -824,7 +989,7 @@ def stage_report(out, args, dest=None):
         "above; ESTOI and unit_acc complement it.")
     if "rtf_note" in da:
         report["rtf_note"] = da["rtf_note"]
-    path = dest or Path(__file__).resolve().parents[1] / "EVAL_r03.json"
+    path = dest or Path(__file__).resolve().parents[1] / "EVAL_r04.json"
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")
@@ -862,7 +1027,20 @@ def main():
                    help="resume hifigan/da GAN training from the full "
                         "saved state in --out ({hifigan,da}_state.pkl) and "
                         "train --*-steps MORE, instead of from scratch")
+    p.add_argument("--pseudo-speakers", type=int, default=0, metavar="K",
+                   help="train the I_da stack MULTISPEAKER over K "
+                        "pseudo-speaker transform families "
+                        "(pseudo_speaker_wavs; r4 verdict #2). 0 = the "
+                        "single-speaker regime of earlier rounds")
+    p.add_argument("--families", default="istft",
+                   help="comma list of vocoder families (istft,v1) the "
+                        "hifigan/eval_ea stages run — same lineage "
+                        "(centroids/data/seed/recipe), the r4 quality-gate "
+                        "pair (verdict #1)")
     args = p.parse_args()
+    families = args.families.split(",")
+    for fam in families:
+        assert fam in ("istft", "v1"), fam
     from speech_inpainting_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -876,20 +1054,25 @@ def main():
         if s == "kmeans":
             stage_kmeans(out, wavs22)
         elif s == "hifigan":
-            stage_hifigan(out, wavs22, args.hifigan_steps,
-                          extend=args.extend)
+            for fam in families:
+                stage_hifigan(out, wavs22, args.hifigan_steps,
+                              extend=args.extend, family=fam)
         elif s == "ea":
             stage_ea(out, wavs22, wavs16, args.ea_steps,
                      holdout=args.ea_holdout)
         elif s == "eval_ea":
-            stage_eval_ea(out, wavs22, wavs16, holdout=args.ea_holdout)
+            for fam in families:
+                stage_eval_ea(out, wavs22, wavs16, holdout=args.ea_holdout,
+                              family=fam)
         elif s == "feats":
-            stage_feats(out, _drop(wavs16, args.da_holdout))
+            stage_feats(out, _drop(wavs16, args.da_holdout),
+                        pseudo=args.pseudo_speakers)
         elif s == "f0vq":
-            stage_f0vq(out, _drop(wavs16, args.da_holdout), args.f0vq_steps)
+            stage_f0vq(out, _drop(wavs16, args.da_holdout), args.f0vq_steps,
+                       pseudo=args.pseudo_speakers)
         elif s == "da":
             stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps,
-                     extend=args.extend)
+                     extend=args.extend, pseudo=args.pseudo_speakers)
         elif s == "eval_da":
             stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
         elif s == "baseline":

@@ -60,6 +60,38 @@ def test_drop_filters_holdout(ev):
         ev._drop({"a": 1}, "a")
 
 
+def test_pseudo_speaker_wavs(ev):
+    """r4 pseudo-speaker builder (verdict #2): 5 transform families as
+    distinct spkr ids, identity untouched, pitch-only families preserve
+    duration while resample families change it, tempo jitter stays within
+    the family."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    base = {"u": rng.standard_normal(32000).astype(np.float32),
+            "v": rng.standard_normal(24000).astype(np.float32)}
+    wavs, spk = ev.pseudo_speaker_wavs(base)
+    assert set(spk.values()) == {0, 1, 2, 3, 4}
+    assert len(wavs) == 2 * 5 * 3          # utt x family x tempo variants
+    assert np.array_equal(wavs["u#s0"], base["u"])     # identity untouched
+    # resample families change duration, pitch-only families preserve it
+    assert abs(len(wavs["u#s1"]) - 32000 / 0.88) <= 2
+    assert abs(len(wavs["u#s2"]) - 32000 / 1.12) <= 2
+    for sid in (3, 4):
+        assert abs(len(wavs[f"u#s{sid}"]) - 32000) <= 512  # WSOLA grid
+        assert not np.array_equal(wavs[f"u#s{sid}"][:32000],
+                                  base["u"][:len(wavs[f"u#s{sid}"])])
+    # tempo variants keep the family id
+    assert spk["u#s3~0.93"] == 3 and spk["v#s1~1.07"] == 1
+    for w in wavs.values():
+        assert w.dtype == np.float32 and np.isfinite(w).all()
+
+
+def test_da_n_spk_marker(ev, tmp_path):
+    assert ev._da_n_spk(tmp_path) == 0          # absent = single-speaker
+    (tmp_path / "da_meta.json").write_text(json.dumps({"n_spk": 5}))
+    assert ev._da_n_spk(tmp_path) == 5
+
+
 def _sweep(ms_values, base):
     return {str(ms): {"pesq": base - i * 0.01, "stoi": 0.7}
             for i, ms in enumerate(ms_values)}
@@ -95,6 +127,28 @@ def test_report_merges_holdout_tables(ev, tmp_path):
         rep["asr_tts_baseline"]["note"].casefold()
     assert rep["rtf_note"] == "dispatch-bound"
     assert "wer_cer" in rep  # the environment-blocked column is documented
+
+
+def test_report_vocoder_gate_table(ev, tmp_path):
+    """With a same-lineage eval_ea_v1.json present the report carries the
+    two-family gate (r4 verdict #1): both means side-by-side, per-metric
+    verdict averages, and the promote/keep boolean."""
+    ea = {"protocol": "I_ea istft", "mean": _sweep((20, 400), 2.5)}
+    v1 = {"protocol": "I_ea v1", "mean": _sweep((20, 400), 2.1)}
+    da = {"protocol": "I_da", "mean": _sweep((100, 400), 2.0)}
+    for name, obj in [("eval_ea.json", ea), ("eval_ea_v1.json", v1),
+                      ("eval_da.json", da)]:
+        (tmp_path / name).write_text(json.dumps(obj))
+    args = types.SimpleNamespace(hifigan_steps=1, ea_steps=1, f0vq_steps=1,
+                                 da_steps=1)
+    dest = tmp_path / "report.json"
+    ev.stage_report(tmp_path, args, dest=dest)
+    rep = json.loads(dest.read_text())
+    gate = rep["vocoder_gate"]
+    assert gate["istft_mean"] == ea["mean"]
+    assert gate["v1_mean"] == v1["mean"]
+    assert gate["verdict"]["pesq"]["istft"] > gate["verdict"]["pesq"]["v1"]
+    assert gate["istft_wins_quality_gate"] is True
 
 
 def test_gan_state_pickle_resume_roundtrip(tmp_path):
