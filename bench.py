@@ -186,27 +186,61 @@ def main():
         lambda: inp_fast.batch(wav22, wav16, mask_pos, lens), fast_synced)
     rtf2 = B * out2["inpainted"].shape[-1] / 22050.0 / per_batch2
 
+    # Flagship promotion is QUALITY-GATED (r4 verdict #1): the iSTFT fast
+    # engine only becomes the headline number when the same-lineage
+    # two-family mask sweep says it matches/beats V1 (EVAL_r04.json
+    # vocoder_gate, examples/eval_e2e.py stage_report). The V1 line always
+    # stays alongside for reference-checkpoint parity.
+    gate = {}
+    try:
+        from pathlib import Path
+        with open(Path(__file__).resolve().parent / "EVAL_r04.json") as f:
+            gate = json.load(f).get("vocoder_gate", {})
+    except Exception:
+        pass
+    promote = bool(gate.get("istft_wins_quality_gate"))
+
+    v1_line = {
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec/chip (HiFi-GAN V1 engine — the "
+                "reference-checkpoint-parity vocoder)",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "differenced": measured,
+    }
+    istft_line = {
+        "value": round(rtf2, 2),
+        "unit": "audio-sec/sec/chip (iSTFT-head fast engine, full width)",
+        "vs_baseline": round(rtf2 / 50.0, 3),
+        "differenced": measured2,
+    }
+    flag, other_key, other = ((istft_line, "v1_engine", v1_line) if promote
+                              else (v1_line, "fast_engine_istft",
+                                    istft_line))
     print(json.dumps({
         "metric": "informed_inpaint_throughput",
-        "value": round(rtf, 2),
-        "unit": "audio-sec/sec/chip pipelined, loop-count-differenced "
-                "(HuBERT-base+HiFi-GAN-V1, "
-                f"200ms mask, bf16, batch {B}x{seconds:.0f}s)",
-        "vs_baseline": round(rtf / 50.0, 3),
+        "value": flag["value"],
+        "unit": flag["unit"] + (" pipelined, loop-count-differenced "
+                                f"(HuBERT-base, 200ms mask, bf16, batch "
+                                f"{B}x{seconds:.0f}s)"),
+        "vs_baseline": flag["vs_baseline"],
         # False = congestion made the differenced delta non-credible and the
         # value above is the conservative per-batch-synced fallback
-        "differenced": measured,
+        "differenced": flag["differenced"],
+        "engine": "istft" if promote else "v1",
+        "quality_gate": (
+            {"istft_wins": True, "verdict": gate.get("verdict"),
+             "source": "EVAL_r04.json vocoder_gate (same-lineage two-family "
+                       "mask sweep)"} if promote else
+            {"istft_wins": False,
+             "note": "no EVAL_r04.json vocoder_gate win on record — "
+                     "flagship stays the V1 engine"}),
+        other_key: other,
         "synced_per_batch": {
             "value": round(rtf_synced, 2),
             "unit": "audio-sec/sec/chip with a device sync per batch (the "
                     "r1/r2 methodology; includes the tunnel's per-readback "
-                    "cost — this is per-batch latency, not throughput)"},
-        # same graph, iSTFT-head vocoder at full width (ch512 trunk):
-        # the in-framework fast serving engine
-        "fast_engine_istft": {"value": round(rtf2, 2),
-                              "unit": "audio-sec/sec/chip",
-                              "vs_baseline": round(rtf2 / 50.0, 3),
-                              "differenced": measured2},
+                    "cost — this is per-batch latency, not throughput; V1 "
+                    "engine)"},
         # real-hardware Mosaic revalidation of the Pallas kernel family
         # (serving uses the XLA path; this is the kernels' canary)
         "pallas_fused_resblock1": check_pallas(),
