@@ -490,6 +490,60 @@ def _da_training_wavs(wavs16, pseudo):
     return augment_wavs(wavs16), None
 
 
+def _batch_pad(wavs):
+    """Stack variable-length wavs into ONE padded batch (+ sample attention
+    mask). Every per-stream extraction below runs as a single batched jit —
+    one remote compile per stage instead of one per distinct length (30
+    pseudo-speaker streams would otherwise pay 30 tunnel compiles)."""
+    names = list(wavs)
+    T = max(len(wavs[n]) for n in names)
+    wav = np.zeros((len(names), T), np.float32)
+    attn = np.zeros((len(names), T), np.int32)
+    for i, n in enumerate(names):
+        w = wavs[n]
+        wav[i, :len(w)] = w
+        attn[i, :len(w)] = 1
+    return names, wav, attn
+
+
+def _batched_units(hub, hubert_params, wavs, tap, centroids=None):
+    """Frozen-encoder tap features for every wav in ONE padded batched
+    forward (attention-masked; pad-length dependence is the same small
+    effect the bucketed EA trainer pins, data/ea_dataset.py). Returns
+    {name: (frames, D) features} — or unit ids when ``centroids`` given."""
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.quantize.kmeans import assign
+    names, wav, attn = _batch_pad(wavs)
+    outs = np.asarray(hub.apply({"params": hubert_params}, jnp.asarray(wav),
+                                jnp.asarray(attn), tap_layer=tap))
+    cfg = small_hubert()
+    nf = np.asarray(cfg.feature_lengths(attn.sum(1))).astype(int)
+    feats = {n: outs[i][:nf[i]] for i, n in enumerate(names)}
+    if centroids is None:
+        return feats
+    import jax
+    C = jnp.asarray(centroids)
+    lab = np.asarray(jax.jit(lambda f: assign(f, C))(jnp.asarray(outs)))
+    return {n: lab[i][:nf[i]] for i, n in enumerate(names)}
+
+
+def _batched_f0(wavs):
+    """Device f0 tracks for every wav in ONE padded batched pass; trimmed
+    to each wav's own frame count (hop 80), normalize_nonzero applied in
+    numpy per track (no per-length compiles)."""
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.ops.f0 import extract_f0
+    names, wav, _ = _batch_pad(wavs)
+    f0b = np.asarray(extract_f0(jnp.asarray(wav)))
+    out = {}
+    for i, n in enumerate(names):
+        f0 = f0b[i][:len(wavs[n]) // 80]
+        mean, std = float(f0.mean()), float(f0.std()) + 1e-8
+        out[n] = np.where(f0 == 0.0, 0.0,
+                          (f0 - mean) / max(std, 1e-8)).astype(np.float32)
+    return out
+
+
 def stage_feats(out, wavs16, pseudo=0):
     """Frozen-encoder features -> content units (the I_da k-means over
     HuBERT layer features, cluster_kmeans.py semantics). Pass pre-filtered
@@ -503,9 +557,7 @@ def stage_feats(out, wavs16, pseudo=0):
     model = HubertModel(small_hubert())
     tap = 2
     wavs, _ = _da_training_wavs(wavs16, pseudo)
-    feats = {name: np.asarray(model.apply(
-        {"params": hp["hubert"]}, jnp.asarray(w)[None], tap_layer=tap)[0])
-        for name, w in wavs.items()}
+    feats = _batched_units(model, hp["hubert"], wavs, tap)
     allf = np.concatenate(list(feats.values()))
     centroids, inertia = fit_kmeans(allf, 100, iters=30, n_init=3)
     print(f"feats: {allf.shape} -> 100 unit centroids, "
@@ -519,7 +571,6 @@ def stage_f0vq(out, wavs16, steps, pseudo=0):
     training utterances cover)."""
     import jax
     import jax.numpy as jnp
-    from speech_inpainting_tpu.ops.f0 import extract_f0, normalize_nonzero
     from speech_inpainting_tpu.models.codegen import FoVQVAE
     from speech_inpainting_tpu.train.f0vq import (F0VQConfig,
                                                   create_f0vq_state,
@@ -527,13 +578,7 @@ def stage_f0vq(out, wavs16, steps, pseudo=0):
     from speech_inpainting_tpu.utils.timing import force
 
     cfg = fo_vqvae_cfg()
-    f0s = []
-    for w in _da_training_wavs(wavs16, pseudo)[0].values():
-        f0 = np.asarray(extract_f0(jnp.asarray(w)))
-        f0 = np.asarray(normalize_nonzero(jnp.asarray(f0),
-                                          float(f0.mean()),
-                                          float(f0.std()) + 1e-8))
-        f0s.append(f0)
+    f0s = list(_batched_f0(_da_training_wavs(wavs16, pseudo)[0]).values())
     model = FoVQVAE(cfg)
     F = 512                                  # 16-frame multiple
     n0 = len(f0s)
@@ -594,8 +639,6 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
     from speech_inpainting_tpu.models.hifigan import (
         MultiPeriodDiscriminator, MultiScaleDiscriminator)
     from speech_inpainting_tpu.models.hubert import HubertModel
-    from speech_inpainting_tpu.ops.f0 import extract_f0, normalize_nonzero
-    from speech_inpainting_tpu.quantize.kmeans import assign
     from speech_inpainting_tpu.train.da import (DATrainConfig, GANConfig,
                                                 create_gan_state,
                                                 make_da_step)
@@ -609,17 +652,14 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
     hub = HubertModel(small_hubert())
     train_wavs, spk_ids = _da_training_wavs(wavs16, pseudo)
 
-    # per-utterance aligned streams: units (hop 320), f0 (hop 80), audio
+    # per-utterance aligned streams: units (hop 320), f0 (hop 80), audio —
+    # extracted in two batched padded passes (one compile each)
     streams = {}
+    all_units = _batched_units(hub, hp["hubert"], train_wavs,
+                               units_d["tap"], units_d["centroids"])
+    all_f0 = _batched_f0(train_wavs)
     for name, w in train_wavs.items():
-        units = np.asarray(assign(
-            np.asarray(hub.apply({"params": hp["hubert"]},
-                                 jnp.asarray(w)[None],
-                                 tap_layer=units_d["tap"])[0]),
-            jnp.asarray(units_d["centroids"])))
-        f0 = np.asarray(extract_f0(jnp.asarray(w)))
-        f0 = np.asarray(normalize_nonzero(
-            jnp.asarray(f0), float(f0.mean()), float(f0.std()) + 1e-8))
+        units, f0 = all_units[name], all_f0[name]
         n = min(len(w) // 320, len(units), len(f0) // 4)
         streams[name] = (units[:n], f0[:n * 4], w[:n * 320])
 
