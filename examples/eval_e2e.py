@@ -291,27 +291,15 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
 
     def batch():
         starts = rng.integers(0, len(cat) - seg, B)
-        audio = np.stack([cat[s:s + seg] for s in starts])[:, None, :]
-        return {"audio": jnp.asarray(audio, jnp.float32),
-                "mask_start": jnp.asarray(
-                    rng.integers(0, n441 - mask_len, B), jnp.int32)}
+        return {"audio": np.stack([cat[s:s + seg] for s in
+                                   starts])[:, None, :].astype(np.float32),
+                "mask_start": rng.integers(0, n441 - mask_len,
+                                           B).astype(np.int32)}
 
-    t0 = time.perf_counter()
-    state, m = step(state, batch())
-    force(m)
-    print(f"hifigan[{family}]: compile {time.perf_counter() - t0:.0f}s")
-    t0, m0 = time.perf_counter(), float(m["mel_error"])
-    for i in range(1, steps):
-        state, m = step(state, batch())
-        if i % 200 == 0:
-            force(m)
-            print(f"hifigan[{family}] step {i}: mel_error "
-                  f"{float(m['mel_error']):.3f} "
-                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
-    force(m)
-    print(f"hifigan[{family}]: mel_error {m0:.3f} -> "
-          f"{float(m['mel_error']):.3f} in {steps} steps "
-          f"(total {int(state.step)})")
+    state, m = _chunked_train(step, state, batch, steps,
+                              f"hifigan[{family}]")
+    print(f"hifigan[{family}]: mel_error {float(m['mel_error']):.3f} "
+          f"after {steps} steps (total {int(state.step)})")
     _save(out / f"{pre}g.pkl", state.g_params)
     _save(out / f"{pre}state.pkl", state)
 
@@ -379,6 +367,8 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     names = [n for n in names if len(labels[n]) > F]
     assert names, f"every training copy is shorter than the {F}-frame crop"
 
+    ones = np.ones((B, T), np.int32)
+
     def batch():
         wav = np.zeros((B, T), np.float32)
         lab = np.zeros((B, cfg.mask_length), np.int32)
@@ -392,23 +382,10 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
             p = rng.integers(1, F - cfg.mask_length - 1)
             pos[b] = p
             lab[b] = l[f0_ + p:f0_ + p + cfg.mask_length]
-        return {"wav": jnp.asarray(wav),
-                "attn_mask": jnp.ones((B, T), jnp.int32),
-                "mask_pos": jnp.asarray(pos), "labels": jnp.asarray(lab)}
+        return {"wav": wav, "attn_mask": ones, "mask_pos": pos,
+                "labels": lab}
 
-    t0 = time.perf_counter()
-    state, m = step(state, batch())
-    force(m)
-    print(f"ea: compile {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    for i in range(1, steps):
-        state, m = step(state, batch())
-        if i % 200 == 0:
-            force(m)
-            print(f"ea step {i}: loss {float(m['loss']):.3f} acc "
-                  f"{float(m.get('cos_sim_acc', m.get('acc', 0))):.3f} "
-                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
-    force(m)
+    state, m = _chunked_train(step, state, batch, steps, "ea")
     print(f"ea final: {({k: round(float(v), 4) for k, v in m.items()})}")
     _save(out / "ea_params.pkl", state.params)
 
@@ -488,6 +465,57 @@ def _da_training_wavs(wavs16, pseudo):
     if pseudo:
         return pseudo_speaker_wavs(wavs16)
     return augment_wavs(wavs16), None
+
+
+def _chunked_train(step, state, batch_np, steps, label, chunk=100,
+                   log_every=400):
+    """Run ``steps`` optimizer steps as ``chunk``-step jitted lax.scan
+    dispatches: ONE tunnel round-trip per chunk instead of per step.
+
+    The per-step dispatch floor through the remote TPU link (~30 ms,
+    stretching to 0.5+ s under congestion — CLAUDE.md) dominates these
+    small-model training loops; scanning K steps inside one jit amortizes
+    it K-fold, exactly like bench.py's fori_loop methodology. ``batch_np``
+    must return a pytree of NUMPY arrays (stacked host-side per chunk).
+    Metrics returned are the chunk's last step's."""
+    import jax
+    from speech_inpainting_tpu.utils.timing import force
+
+    if steps < chunk:
+        chunk = steps
+
+    @jax.jit
+    def multi(s, bs):
+        s, ms = jax.lax.scan(lambda s, b: step(s, b), s, bs)
+        return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    t0, m = time.perf_counter(), None
+    n_chunks = (steps + chunk - 1) // chunk
+    for c in range(n_chunks):
+        k = min(chunk, steps - c * chunk)
+        batches = [batch_np() for _ in range(k)]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        if k != chunk:   # tail chunk: avoid a second scan compile by
+            state, m = _plain_steps(step, state, batches)   # stepping through
+            continue
+        state, m = multi(state, stacked)
+        done = (c + 1) * chunk
+        if done % log_every == 0 or c == n_chunks - 1:
+            force(m)
+            scal = {k2: float(v) for k2, v in m.items() if np.ndim(v) == 0}
+            head = {k2: round(v, 4) for k2, v in list(scal.items())[:3]}
+            print(f"{label} step {done}: {head} "
+                  f"({(time.perf_counter() - t0) / done:.3f}s/step)",
+                  flush=True)
+    force(m)
+    return state, m
+
+
+def _plain_steps(step, state, batches):
+    m = None
+    for b in batches:
+        state, m = step(state, b)
+    return state, m
 
 
 def _batch_pad(wavs):
@@ -716,24 +744,12 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
             audio[b, 0] = w[s * 320:s * 320 + seg]
             if spk_ids is not None:
                 spkr[b] = spk_ids[name]
-        out_b = {"code": jnp.asarray(code), "f0": jnp.asarray(f0),
-                 "audio": jnp.asarray(audio)}
+        out_b = {"code": code, "f0": f0, "audio": audio}
         if spk_ids is not None:
-            out_b["spkr"] = jnp.asarray(spkr)
+            out_b["spkr"] = spkr
         return out_b
 
-    t0 = time.perf_counter()
-    state, m = step(state, batch())
-    force(m)
-    print(f"da: compile {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    for i in range(1, steps):
-        state, m = step(state, batch())
-        if i % 200 == 0:
-            force(m)
-            print(f"da step {i}: mel_error {float(m['mel_error']):.3f} "
-                  f"({(time.perf_counter() - t0) / i:.2f}s/step)", flush=True)
-    force(m)
+    state, m = _chunked_train(step, state, batch, steps, "da")
     print(f"da final mel_error: {float(m['mel_error']):.3f} "
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
