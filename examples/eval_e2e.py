@@ -266,7 +266,9 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
            else Generator(small_hifigan_22k()))
     seg, B, mask_len = 44288, 4, 20
     tcfg = HiFiGANTrainConfig(
-        gan=GANConfig(steps_per_epoch=1000, batched_disc=True),
+        gan=GANConfig(steps_per_epoch=1000, batched_disc=True,
+                      disc_bf16=True),   # +20% on the disc-dominated step,
+        # numerics pinned by test_disc_bf16_step_tracks_f32
         hifigan=small_hifigan_22k(), segment_size=seg, mask_len=mask_len)
     gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
     zy = jnp.zeros((1, 1, seg))
@@ -701,7 +703,8 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
     g_params["fo_vqvae"] = fovq["params"]       # trained, then frozen
     vq_tree = {"fo_vqvae": fovq["vq"]}
 
-    gan = GANConfig(frozen_g_paths=("fo_vqvae",), steps_per_epoch=1000)
+    gan = GANConfig(frozen_g_paths=("fo_vqvae",), steps_per_epoch=1000,
+                    batched_disc=True, disc_bf16=True)
     da_cfg = DATrainConfig(codegen=cg_cfg, gan=gan, segment_size=seg)
     zy = jnp.zeros((1, 1, seg))
     mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
