@@ -291,15 +291,23 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
     rng = np.random.default_rng(int(state.step))  # fresh crops on extend
     n441 = tcfg.mel_441.num_frames(seg)
 
+    # audio rides device-resident once; per-chunk traffic is crop indices
+    # only (the tunnel's transfer bandwidth was the 0.6 s/step wall)
+    catd = jnp.asarray(cat.astype(np.float32))
+
+    def step_ix(s, b, catd):
+        audio = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            catd, (st,), (seg,)))(b["starts"])[:, None, :]
+        return step(s, {"audio": audio, "mask_start": b["mask_start"]})
+
     def batch():
-        starts = rng.integers(0, len(cat) - seg, B)
-        return {"audio": np.stack([cat[s:s + seg] for s in
-                                   starts])[:, None, :].astype(np.float32),
+        return {"starts": rng.integers(0, len(cat) - seg,
+                                       B).astype(np.int32),
                 "mask_start": rng.integers(0, n441 - mask_len,
                                            B).astype(np.int32)}
 
-    state, m = _chunked_train(step, state, batch, steps,
-                              f"hifigan[{family}]")
+    state, m = _chunked_train(step_ix, state, batch, steps,
+                              f"hifigan[{family}]", consts=catd)
     print(f"hifigan[{family}]: mel_error {float(m['mel_error']):.3f} "
           f"after {steps} steps (total {int(state.step)})")
     _save(out / f"{pre}g.pkl", state.g_params)
@@ -369,10 +377,25 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
     names = [n for n in names if len(labels[n]) > F]
     assert names, f"every training copy is shorter than the {F}-frame crop"
 
-    ones = np.ones((B, T), np.int32)
+    # one device-resident concatenation of every training copy; batches
+    # carry only absolute crop offsets + labels (attn mask built in-graph)
+    offsets = {}
+    acc = 0
+    for n in names:
+        offsets[n] = acc
+        acc += len(train16[n])
+    catd = jnp.asarray(np.concatenate([train16[n] for n in names]
+                                      ).astype(np.float32))
+
+    def step_ix(s, b, catd):
+        wav = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            catd, (st,), (T,)))(b["astart"])
+        return step(s, {"wav": wav,
+                        "attn_mask": jnp.ones((B, T), jnp.int32),
+                        "mask_pos": b["mask_pos"], "labels": b["labels"]})
 
     def batch():
-        wav = np.zeros((B, T), np.float32)
+        astart = np.zeros((B,), np.int32)
         lab = np.zeros((B, cfg.mask_length), np.int32)
         pos = np.zeros((B,), np.int32)
         for b in range(B):
@@ -380,14 +403,14 @@ def stage_ea(out, wavs22, wavs16, steps, holdout=None):
             w16, l = train16[name], labels[name]
             max_f = min(len(w16) // 320, len(l)) - F
             f0_ = rng.integers(0, max_f)
-            wav[b] = w16[f0_ * 320:(f0_ + F) * 320]
+            astart[b] = offsets[name] + f0_ * 320
             p = rng.integers(1, F - cfg.mask_length - 1)
             pos[b] = p
             lab[b] = l[f0_ + p:f0_ + p + cfg.mask_length]
-        return {"wav": wav, "attn_mask": ones, "mask_pos": pos,
-                "labels": lab}
+        return {"astart": astart, "mask_pos": pos, "labels": lab}
 
-    state, m = _chunked_train(step, state, batch, steps, "ea")
+    state, m = _chunked_train(step_ix, state, batch, steps, "ea",
+                              consts=catd)
     print(f"ea final: {({k: round(float(v), 4) for k, v in m.items()})}")
     _save(out / "ea_params.pkl", state.params)
 
@@ -470,7 +493,7 @@ def _da_training_wavs(wavs16, pseudo):
 
 
 def _chunked_train(step, state, batch_np, steps, label, chunk=100,
-                   log_every=400):
+                   log_every=400, consts=None):
     """Run ``steps`` optimizer steps as ``chunk``-step jitted lax.scan
     dispatches: ONE tunnel round-trip per chunk instead of per step.
 
@@ -478,8 +501,14 @@ def _chunked_train(step, state, batch_np, steps, label, chunk=100,
     stretching to 0.5+ s under congestion — CLAUDE.md) dominates these
     small-model training loops; scanning K steps inside one jit amortizes
     it K-fold, exactly like bench.py's fori_loop methodology. ``batch_np``
-    must return a pytree of NUMPY arrays (stacked host-side per chunk).
-    Metrics returned are the chunk's last step's."""
+    must return a pytree of NUMPY arrays (stacked host-side per chunk) —
+    keep them SMALL (indices, labels): the tunnel's transfer bandwidth is
+    the next wall after the dispatch floor (~70 MB of waveform crops per
+    chunk measured 0.6 s/step); stage the audio device-resident once via
+    ``consts`` and gather crops in-graph instead. With ``consts`` set,
+    ``step`` is called as step(state, batch, consts) — pass jnp arrays so
+    they upload once and stay resident (never closure constants: the
+    HTTP-413 rule). Metrics returned are the chunk's last step's."""
     import jax
     from speech_inpainting_tpu.utils.timing import force
 
@@ -487,8 +516,10 @@ def _chunked_train(step, state, batch_np, steps, label, chunk=100,
         chunk = steps
 
     @jax.jit
-    def multi(s, bs):
-        s, ms = jax.lax.scan(lambda s, b: step(s, b), s, bs)
+    def multi(s, bs, cs):
+        def body(s, b):
+            return step(s, b) if consts is None else step(s, b, cs)
+        s, ms = jax.lax.scan(body, s, bs)
         return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
     t0, m = time.perf_counter(), None
@@ -498,9 +529,9 @@ def _chunked_train(step, state, batch_np, steps, label, chunk=100,
         batches = [batch_np() for _ in range(k)]
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
         if k != chunk:   # tail chunk: avoid a second scan compile by
-            state, m = _plain_steps(step, state, batches)   # stepping through
+            state, m = _plain_steps(step, state, batches, consts)
             continue
-        state, m = multi(state, stacked)
+        state, m = multi(state, stacked, consts)
         done = (c + 1) * chunk
         if done % log_every == 0 or c == n_chunks - 1:
             force(m)
@@ -513,10 +544,11 @@ def _chunked_train(step, state, batch_np, steps, label, chunk=100,
     return state, m
 
 
-def _plain_steps(step, state, batches):
+def _plain_steps(step, state, batches, consts=None):
     m = None
     for b in batches:
-        state, m = step(state, b)
+        state, m = (step(state, b) if consts is None
+                    else step(state, b, consts))
     return state, m
 
 
@@ -733,10 +765,28 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
         print(f"da: dropped {len(streams) - len(names)} streams shorter "
               f"than the crop")
 
+    # audio device-resident (concatenated streams); code/f0/spkr are small
+    # and ride with the batch
+    offsets = {}
+    acc = 0
+    for n in names:
+        offsets[n] = acc
+        acc += len(streams[n][2])
+    catd = jnp.asarray(np.concatenate([streams[n][2] for n in names]
+                                      ).astype(np.float32))
+
+    def step_ix(s, b, catd):
+        audio = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            catd, (st,), (seg,)))(b["astart"])[:, None, :]
+        b2 = {"code": b["code"], "f0": b["f0"], "audio": audio}
+        if "spkr" in b:
+            b2["spkr"] = b["spkr"]
+        return step(s, b2)
+
     def batch():
         code = np.zeros((B, F), np.int32)
         f0 = np.zeros((B, 1, Ff), np.float32)
-        audio = np.zeros((B, 1, seg), np.float32)
+        astart = np.zeros((B,), np.int32)
         spkr = np.zeros((B,), np.int32)
         for b in range(B):
             name = names[rng.integers(len(names))]
@@ -744,15 +794,16 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
             s = rng.integers(0, len(u) - F)
             code[b] = u[s:s + F]
             f0[b, 0] = f[s * 4:s * 4 + Ff]
-            audio[b, 0] = w[s * 320:s * 320 + seg]
+            astart[b] = offsets[name] + s * 320
             if spk_ids is not None:
                 spkr[b] = spk_ids[name]
-        out_b = {"code": code, "f0": f0, "audio": audio}
+        out_b = {"code": code, "f0": f0, "astart": astart}
         if spk_ids is not None:
             out_b["spkr"] = spkr
         return out_b
 
-    state, m = _chunked_train(step, state, batch, steps, "da")
+    state, m = _chunked_train(step_ix, state, batch, steps, "da",
+                              consts=catd)
     print(f"da final mel_error: {float(m['mel_error']):.3f} "
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
