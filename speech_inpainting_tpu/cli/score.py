@@ -29,11 +29,15 @@ import numpy as np
 
 def score_pair(ref: np.ndarray, deg: np.ndarray, sr: int, *,
                pesq_mode: str = "wb", unit_scorer=None,
-               whisper=None, text: str | None = None) -> dict:
+               whisper=None, text: str | None = None,
+               mask_span: tuple | None = None) -> dict:
     """Full metric dict for one (clean reference, degraded estimate) pair.
 
     Waveforms must share ``sr``; lengths are trimmed to the shorter one
-    (the reference compares equal-length masked/inpainted renders)."""
+    (the reference compares equal-length masked/inpainted renders).
+    ``mask_span`` (start_sec, end_sec) adds `uer_mask` — UER restricted to
+    the masked span (metrics/units.py), the discriminative column for
+    whole-waveform resynthesis systems."""
     from ..metrics.objective import (log_spectral_d2, log_spectral_rmse,
                                      si_sdr)
     from ..metrics.pesq import pesq
@@ -61,6 +65,9 @@ def score_pair(ref: np.ndarray, deg: np.ndarray, sr: int, *,
     out["lsd_rmse"] = float(log_spectral_rmse(mr[:, :m].T, md[:, :m].T))
     if unit_scorer is not None:
         out["uer"] = float(unit_scorer.uer(ref, deg, sr))
+        if mask_span is not None:
+            out["uer_mask"] = float(unit_scorer.masked_uer(
+                ref, deg, sr, mask_span))
     if whisper is not None and text:
         w, c, hyp = whisper.wer_cer(deg, sr, text)
         out.update(wer=float(w), cer=float(c), asr_text=hyp)
@@ -106,6 +113,11 @@ def main(argv=None):
                    help="directory of degraded wavs (matched by filename)")
     p.add_argument("--kmeans", help="mel-centroid k-means model → adds UER "
                    "(offline intelligibility proxy, metrics/units.py)")
+    p.add_argument("--mask", metavar="START:END",
+                   help="masked span in seconds (e.g. 1.5:1.7) → adds "
+                        "uer_mask, the masked-span UER (needs --kmeans); "
+                        "the discriminative intelligibility column for "
+                        "whole-waveform resynthesis systems")
     p.add_argument("--text", help="target transcript → adds Whisper WER/CER "
                    "when a local HF cache exists (zero-egress gated)")
     p.add_argument("--pesq-mode", choices=("wb", "nb"), default="wb")
@@ -120,6 +132,18 @@ def main(argv=None):
         p.error("--text only applies to single-pair mode (--ref/--deg)")
 
     unit_scorer = _mel_unit_scorer(args.kmeans) if args.kmeans else None
+    mask_span = None
+    if args.mask:
+        if not args.kmeans:
+            p.error("--mask needs --kmeans (uer_mask is a unit metric)")
+        try:
+            a, b = (float(v) for v in args.mask.split(":"))
+        except ValueError:
+            p.error(f"--mask wants START:END seconds, got {args.mask!r}")
+        if not 0 <= a < b:
+            p.error(f"--mask span must satisfy 0 <= start < end: "
+                    f"{args.mask!r}")
+        mask_span = (a, b)
     whisper = None
     if args.text:
         from ..metrics.asr import WhisperScorer
@@ -136,7 +160,7 @@ def main(argv=None):
             deg, sr_d = resample(deg, sr_d, sr_r), sr_r
         files[name] = score_pair(ref, deg, sr_r, pesq_mode=args.pesq_mode,
                                  unit_scorer=unit_scorer, whisper=whisper,
-                                 text=args.text)
+                                 text=args.text, mask_span=mask_span)
     # Aggregate lives in its own namespace so a file named mean.wav can
     # never collide with it.
     results = {"files": files}

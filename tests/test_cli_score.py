@@ -74,6 +74,20 @@ def test_score_cli_uer_and_arg_errors(tmp_path, rng):
                   "--deg", str(tmp_path / "d.wav"), "--kmeans", str(km)])
     assert 0.0 < res["files"]["d"]["uer"] <= 2.0  # real edit cost
 
+    # masked-span UER: corrupted span scores, clean span scores 0
+    t0, t1 = ref.size // 3 / SR, 2 * ref.size // 3 / SR
+    res = S.main(["--ref", str(tmp_path / "r.wav"),
+                  "--deg", str(tmp_path / "d.wav"), "--kmeans", str(km),
+                  "--mask", f"{t0:.3f}:{t1:.3f}"])
+    assert res["files"]["d"]["uer_mask"] > 0.0
+    res0 = S.main(["--ref", str(tmp_path / "r.wav"),
+                   "--deg", str(tmp_path / "r.wav"), "--kmeans", str(km),
+                   "--mask", f"{t0:.3f}:{t1:.3f}"])
+    assert res0["files"]["r"]["uer_mask"] == 0.0
+    with pytest.raises(SystemExit):   # --mask without --kmeans
+        S.main(["--ref", str(tmp_path / "r.wav"),
+                "--deg", str(tmp_path / "d.wav"), "--mask", "0.1:0.2"])
+
     with pytest.raises(SystemExit):   # pair XOR dirs
         S.main(["--ref", str(tmp_path / "r.wav")])
     with pytest.raises(SystemExit):   # one transcript can't score a dir
