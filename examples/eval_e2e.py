@@ -228,7 +228,8 @@ def _family_prefix(family):
     return "hifigan_" if family == "istft" else "hifigan_v1_"
 
 
-def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
+def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
+                  disc_bf16=True, chunk=100):
     """Modified decoder fine-tune regime, from scratch: random 44288-sample
     crops, in-graph centroid substitution of a random 20-frame span
     (train_modified.py semantics, segment 44288 / mask_len 20).
@@ -267,8 +268,8 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
     seg, B, mask_len = 44288, 4, 20
     tcfg = HiFiGANTrainConfig(
         gan=GANConfig(steps_per_epoch=1000, batched_disc=True,
-                      disc_bf16=True),   # +20% on the disc-dominated step,
-        # numerics pinned by test_disc_bf16_step_tracks_f32
+                      disc_bf16=disc_bf16),   # +20% on the disc-dominated
+        # step, numerics pinned by test_disc_bf16_step_tracks_f32
         hifigan=small_hifigan_22k(), segment_size=seg, mask_len=mask_len)
     gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
     zy = jnp.zeros((1, 1, seg))
@@ -307,7 +308,8 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft"):
                                            B).astype(np.int32)}
 
     state, m = _chunked_train(step_ix, state, batch, steps,
-                              f"hifigan[{family}]", consts=catd)
+                              f"hifigan[{family}]", chunk=chunk,
+                              consts=catd)
     print(f"hifigan[{family}]: mel_error {float(m['mel_error']):.3f} "
           f"after {steps} steps (total {int(state.step)})")
     _save(out / f"{pre}g.pkl", state.g_params)
@@ -676,7 +678,7 @@ def stage_f0vq(out, wavs16, steps, pseudo=0):
     _save(out / "f0vq.pkl", {"params": state.params, "vq": state.vq})
 
 
-def stage_da(out, wavs16, steps, extend=False, pseudo=0):
+def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
     trained content units + frozen f0-VQVAE pitch units -> waveform.
 
@@ -803,7 +805,7 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0):
         return out_b
 
     state, m = _chunked_train(step_ix, state, batch, steps, "da",
-                              consts=catd)
+                              chunk=chunk, consts=catd)
     print(f"da final mel_error: {float(m['mel_error']):.3f} "
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
@@ -1142,6 +1144,12 @@ def main():
                         "pseudo-speaker transform families "
                         "(pseudo_speaker_wavs; r4 verdict #2). 0 = the "
                         "single-speaker regime of earlier rounds")
+    p.add_argument("--disc-f32", action="store_true",
+                   help="train GAN discriminators in f32 (default bf16 "
+                        "compute)")
+    p.add_argument("--train-chunk", type=int, default=100,
+                   help="steps per scanned training dispatch "
+                        "(_chunked_train)")
     p.add_argument("--families", default="istft",
                    help="comma list of vocoder families (istft,v1) the "
                         "hifigan/eval_ea stages run — same lineage "
@@ -1166,7 +1174,9 @@ def main():
         elif s == "hifigan":
             for fam in families:
                 stage_hifigan(out, wavs22, args.hifigan_steps,
-                              extend=args.extend, family=fam)
+                              extend=args.extend, family=fam,
+                              disc_bf16=not args.disc_f32,
+                              chunk=args.train_chunk)
         elif s == "ea":
             stage_ea(out, wavs22, wavs16, args.ea_steps,
                      holdout=args.ea_holdout)
@@ -1182,7 +1192,8 @@ def main():
                        pseudo=args.pseudo_speakers)
         elif s == "da":
             stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps,
-                     extend=args.extend, pseudo=args.pseudo_speakers)
+                     extend=args.extend, pseudo=args.pseudo_speakers,
+                     chunk=args.train_chunk)
         elif s == "eval_da":
             stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
         elif s == "baseline":
