@@ -79,6 +79,31 @@ def check_pallas():
     return result
 
 
+def latest_vocoder_gate(repo_dir):
+    """Newest round's vocoder_gate: EVAL_r*.json sorted by round number,
+    newest first, first file that parses and carries the gate wins —
+    bench.py must never pin a literal round filename (r4 weak #5: a
+    hardcoded EVAL_r04.json would silently keep promoting on a stale
+    verdict once r5 writes its own). Returns (gate dict, source filename or
+    None)."""
+    import re
+    from pathlib import Path
+    files = []
+    for p in Path(repo_dir).glob("EVAL_r*.json"):
+        m = re.fullmatch(r"EVAL_r(\d+)\.json", p.name)
+        if m:
+            files.append((int(m.group(1)), p))
+    for _, p in sorted(files, reverse=True):
+        try:
+            with open(p) as f:
+                gate = json.load(f).get("vocoder_gate")
+        except Exception:
+            continue
+        if gate:
+            return gate, p.name
+    return {}, None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -191,13 +216,8 @@ def main():
     # two-family mask sweep says it matches/beats V1 (EVAL_r04.json
     # vocoder_gate, examples/eval_e2e.py stage_report). The V1 line always
     # stays alongside for reference-checkpoint parity.
-    gate = {}
-    try:
-        from pathlib import Path
-        with open(Path(__file__).resolve().parent / "EVAL_r04.json") as f:
-            gate = json.load(f).get("vocoder_gate", {})
-    except Exception:
-        pass
+    from pathlib import Path
+    gate, gate_src = latest_vocoder_gate(Path(__file__).resolve().parent)
     promote = bool(gate.get("istft_wins_quality_gate"))
 
     v1_line = {
@@ -229,10 +249,16 @@ def main():
         "engine": "istft" if promote else "v1",
         "quality_gate": (
             {"istft_wins": True, "verdict": gate.get("verdict"),
-             "source": "EVAL_r04.json vocoder_gate (same-lineage two-family "
-                       "mask sweep)"} if promote else
+             "wins": gate.get("wins"),
+             "source": f"{gate_src} vocoder_gate (same-lineage two-family "
+                       "mask sweep over the width-192 eval-chain proxy "
+                       "models — the quality evidence is proxy-scale; the "
+                       "full-width engines share the architecture)"}
+            if promote else
             {"istft_wins": False,
-             "note": "no EVAL_r04.json vocoder_gate win on record — "
+             "note": (f"no vocoder_gate win on record in {gate_src} — "
+                      if gate_src else
+                      "no EVAL_r*.json vocoder_gate found — ") +
                      "flagship stays the V1 engine"}),
         other_key: other,
         "synced_per_batch": {

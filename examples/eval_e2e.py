@@ -49,6 +49,47 @@ def _load(path):
         return pickle.load(f)
 
 
+def _save_gan_lineage(path, state):
+    """Committable GAN lineage (r5 verdict #1): g_params f32 + discriminator
+    params f16 + spectral state + step, WITHOUT the optimizer moments that
+    make the full state ~830 MB (the moments are ~2/3 of it and rebuild in
+    ~100 steps of training). ~6x smaller, so the quality lineage can live
+    in git and accumulate across rounds instead of resetting (the r3→r4
+    regression was a lost working dir). Restoring from this is the
+    documented warm-start-with-discriminators resume: fresh AdamW moments,
+    restarted ExponentialLR (within 0.999^12 ≈ 1.2% of the saved lr at the
+    12k-step depths used here) — the reference's partial-restore recipe
+    (I_ea/hifi_gan/train_modified.py:72-93) extended to both networks."""
+    import jax
+
+    def f16(tree):
+        return jax.tree.map(
+            lambda x: np.asarray(x, np.float16)
+            if np.asarray(x).dtype == np.float32 else np.asarray(x), tree)
+
+    s = jax.device_get(state)
+    _save(path, {"step": int(s.step), "g_params": s.g_params,
+                 "d_params_f16": f16(s.d_params), "spectral": s.spectral})
+
+
+def _restore_gan_lineage(state, path):
+    """Fresh-optimizer state carrying the committed lineage's networks and
+    step (see _save_gan_lineage)."""
+    import jax
+    import jax.numpy as jnp
+    d = _load(path)
+
+    def f32(tree):
+        return jax.tree.map(
+            lambda x: np.asarray(x, np.float32)
+            if np.asarray(x).dtype == np.float16 else x, tree)
+
+    return state.replace(step=jnp.asarray(d["step"], jnp.int32),
+                         g_params=d["g_params"],
+                         d_params=f32(d["d_params_f16"]),
+                         spectral=d["spectral"])
+
+
 def load_audio():
     from speech_inpainting_tpu.data.audio import load_wav, peak_normalize
     wavs22, wavs16 = {}, {}
@@ -108,8 +149,8 @@ def augment_wavs(wavs, rates=(0.9, 0.95, 1.05, 1.1)):
     return out
 
 
-def pseudo_speaker_wavs(wavs16, tempo_jitter=(0.93, 1.07)):
-    """K=5 pseudo-speakers from voice-transform families (r4 verdict #2).
+def pseudo_speaker_wavs(wavs16, tempo_jitter=(0.93, 1.07), k=5):
+    """K pseudo-speakers from voice-transform families (r4 verdict #2).
 
     The multispkr embedding path (models/codegen.py, reference
     I_da/src/model.py:127-143) has only ever seen 1 speaker here — the
@@ -124,7 +165,11 @@ def pseudo_speaker_wavs(wavs16, tempo_jitter=(0.93, 1.07)):
             the same speed; ops/dsp.py wsola)
 
     Within each family, WSOLA tempo jitter adds same-voice copies (tempo
-    carries no identity). Returns ({name: wav16}, {name: spkr_id}).
+    carries no identity). ``k`` selects the first k families — the emitted
+    spkr ids are exactly {0..k-1}, matching the Embedding table
+    small_codegen sizes to k (an id ≥ k would silently clamp to the last
+    embedding row and alias families — ADVICE r4 #2).
+    Returns ({name: wav16}, {name: spkr_id}).
     """
     from fractions import Fraction
 
@@ -144,6 +189,8 @@ def pseudo_speaker_wavs(wavs16, tempo_jitter=(0.93, 1.07)):
         3: lambda w: rs(wsola(w, 0.85), 0.85),
         4: lambda w: rs(wsola(w, 1.15), 1.15),
     }
+    assert 1 <= k <= len(fams), f"k={k}: {len(fams)} transform families exist"
+    fams = {sid: fams[sid] for sid in range(k)}
     out, spk = {}, {}
     for name, w in wavs16.items():
         for sid, f in fams.items():
@@ -263,6 +310,13 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
 
     centroids = _load(out / "centroids.pkl")
     pre = _family_prefix(family)
+    if family == "v1":
+        # libtpu miscompile guard (commit e9ed692, CLAUDE.md gotchas): the
+        # ConvTranspose-tail GAN step faults inside a lax.scan of length
+        # ~100 on this libtpu; scan length ≤25 is stable. Cap here so the
+        # default --train-chunk 100 can't walk back into the fault
+        # (ADVICE r4 #1).
+        chunk = min(chunk, 25)
     gen = (ISTFTGenerator(small_istft_22k()) if family == "istft"
            else Generator(small_hifigan_22k()))
     seg, B, mask_len = 44288, 4, 20
@@ -280,6 +334,10 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
     if extend and (out / f"{pre}state.pkl").exists():
         state = _load(out / f"{pre}state.pkl")
         print(f"hifigan[{family}]: extending from step {int(state.step)}")
+    elif extend and (out / f"{pre}lineage.pkl").exists():
+        state = _restore_gan_lineage(state, out / f"{pre}lineage.pkl")
+        print(f"hifigan[{family}]: extending from committed lineage at "
+              f"step {int(state.step)} (fresh optimizer moments)")
     elif extend and (out / f"{pre}g.pkl").exists():
         # generator-only warm start with fresh discriminators — the
         # reference's --warm-start recipe (train_modified.py:72-93)
@@ -314,6 +372,7 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
           f"after {steps} steps (total {int(state.step)})")
     _save(out / f"{pre}g.pkl", state.g_params)
     _save(out / f"{pre}state.pkl", state)
+    _save_gan_lineage(out / f"{pre}lineage.pkl", state)
 
 
 def stage_ea(out, wavs22, wavs16, steps, holdout=None):
@@ -490,7 +549,10 @@ def _da_training_wavs(wavs16, pseudo):
     (single-speaker regime) or the K-pseudo-speaker transform families
     (multispkr regime, r4 verdict #2). Returns (wavs, spkr-ids or None)."""
     if pseudo:
-        return pseudo_speaker_wavs(wavs16)
+        wavs, spk = pseudo_speaker_wavs(wavs16, k=pseudo)
+        assert set(spk.values()) == set(range(pseudo)), \
+            f"spkr ids {sorted(set(spk.values()))} != 0..{pseudo - 1}"
+        return wavs, spk
     return augment_wavs(wavs16), None
 
 
@@ -678,7 +740,8 @@ def stage_f0vq(out, wavs16, steps, pseudo=0):
     _save(out / "f0vq.pkl", {"params": state.params, "vq": state.vq})
 
 
-def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100):
+def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100,
+             disc_bf16=True):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
     trained content units + frozen f0-VQVAE pitch units -> waveform.
 
@@ -738,23 +801,33 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100):
     vq_tree = {"fo_vqvae": fovq["vq"]}
 
     gan = GANConfig(frozen_g_paths=("fo_vqvae",), steps_per_epoch=1000,
-                    batched_disc=True, disc_bf16=True)
+                    batched_disc=True, disc_bf16=disc_bf16)
     da_cfg = DATrainConfig(codegen=cg_cfg, gan=gan, segment_size=seg)
     zy = jnp.zeros((1, 1, seg))
     mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(gan, g_params, dp, sv["params"], sv["spectral"])
-    if extend and (out / "da_meta.json").exists():
-        prior = json.loads((out / "da_meta.json").read_text())
-        if prior.get("n_spk", 0) != pseudo:
+    has_saved = any((out / f).exists() for f in
+                    ("da_state.pkl", "da_lineage.pkl", "da_g.pkl"))
+    if extend and has_saved:
+        # _da_n_spk treats an absent da_meta.json as n_spk=0 (pre-r4
+        # single-speaker artifacts), so the regime-mismatch guard fires
+        # even without the marker instead of dying later on an opaque
+        # param-tree shape error (ADVICE r4 #4)
+        prior_n = _da_n_spk(out)
+        if prior_n != pseudo:
             raise SystemExit(
                 f"--extend with --pseudo-speakers {pseudo} but the saved "
-                f"state was trained with n_spk={prior.get('n_spk', 0)} — "
+                f"state was trained with n_spk={prior_n} — "
                 "param shapes differ; use a fresh --out")
     if extend and (out / "da_state.pkl").exists():
         state = _load(out / "da_state.pkl")
         print(f"da: extending from step {int(state.step)}")
+    elif extend and (out / "da_lineage.pkl").exists():
+        state = _restore_gan_lineage(state, out / "da_lineage.pkl")
+        print(f"da: extending from committed lineage at step "
+              f"{int(state.step)} (fresh optimizer moments)")
     elif extend and (out / "da_g.pkl").exists():
         state = state.replace(g_params=_load(out / "da_g.pkl"))
         print("da: warm-starting generator only (no full state saved)")
@@ -810,6 +883,7 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100):
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)
     _save(out / "da_state.pkl", state)
+    _save_gan_lineage(out / "da_lineage.pkl", state)
     (out / "da_meta.json").write_text(json.dumps({"n_spk": pseudo}))
 
 
@@ -872,18 +946,32 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
             inp(w, mask_size=ms * 16, spkr=spkr)
             o = inp(w, mask_size=ms * 16, spkr=spkr)
             gt, est = o["audio_gt"], o["audio_inpainted"]
+            gen = o["audio_gen"]
             n = min(len(gt), len(est))
+            span = (1.5, 1.5 + ms / 1000.0)
+            edits, ref_units = scorer.masked_uer_edits(gen[:n], est[:n],
+                                                       16000, span)
             results[name][ms] = {
                 "pesq": float(pesq(gt[:n], est[:n], 16000)),
                 "stoi": float(stoi(gt[:n], est[:n], 16000)),
                 "estoi": float(stoi(gt[:n], est[:n], 16000, extended=True)),
                 "si_sdr": float(si_sdr(est[:n], gt[:n])),
                 "uer": float(scorer.uer(gt[:n], est[:n], 16000)),
-                # masked-span UER (metrics/units.py): the discriminative
-                # intelligibility column for I_da — full-sequence UER
-                # saturates under whole-waveform resynthesis (r3 verdict #3)
-                "uer_mask": float(scorer.masked_uer(
-                    gt[:n], est[:n], 16000, (1.5, 1.5 + ms / 1000.0))),
+                # Splice-isolating columns (r4 verdict #2): scored against
+                # audio_gen — the clean-units render the inpainter also
+                # returns (infer/ida_inpaint.py:103; the reference's
+                # _gen.wav, I_da/scripts/inpainting.py:261-266). Re-encoding
+                # ANY render of this decoder drifts units everywhere, so
+                # scoring vs the clean gt kept uer_mask pinned at ~1.0 (r4
+                # weak #3); vs the render that whole-waveform vocoder noise
+                # is common to, only splice-content error remains.
+                "uer_mask": float(scorer.masked_uer(gen[:n], est[:n],
+                                                    16000, span)),
+                "uer_mask_edits": edits,
+                "uer_mask_ref_units": ref_units,
+                "pesq_vs_gen": float(pesq(gen[:n], est[:n], 16000)),
+                "estoi_vs_gen": float(stoi(gen[:n], est[:n], 16000,
+                                           extended=True)),
                 "rtf": float(o["rtf"]),
             }
             print(f"  {name} {ms}ms: {results[name][ms]}", flush=True)
@@ -894,8 +982,12 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
                 agg.setdefault(ms, {}).setdefault(k, []).append(v)
     results["mean"] = {ms: {k: float(np.mean(v)) for k, v in d.items()}
                        for ms, d in agg.items()}
-    results["protocol"] = ("I_da inpainting: {100..400}ms at fixed 1.5s, "
-                           "informed splice")
+    results["protocol"] = (
+        "I_da inpainting: {100..400}ms at fixed 1.5s, informed splice; "
+        "uer_mask/pesq_vs_gen/estoi_vs_gen score audio_inpainted against "
+        "audio_gen (the clean-units render) so whole-waveform resynthesis "
+        "noise cancels and only splice-content error remains; "
+        "uer_mask_edits/_ref_units are the raw masked-span counts")
     if n_spk:
         results["protocol"] += (
             f"; decoder trained MULTISPEAKER over {n_spk} pseudo-speaker "
@@ -915,6 +1007,131 @@ def stage_eval_da(out, wavs22, wavs16, holdout=None):
         fname = "eval_da_holdout.json"
     with open(out / fname, "w") as f:
         json.dump(results, f, indent=2)
+
+
+def stage_vc_sweep(out, wavs16, holdout=None, control_rate=0.95):
+    """Quantified I_da-holdout analysis (r4 verdict "next #3"): does the
+    speaker embedding measurably do anything, and is the holdout floor a
+    CONTENT-generalization failure or a VOICE-generalization failure?
+
+    Three resynthesis rows (audio_gen vs audio_gt — full resynthesis, no
+    inpainting confound) through the stack saved in ``out`` (trained with
+    ``holdout`` excluded):
+
+      train_seen_voice    seen content + seen voice (identity family)
+      control_unseen_voice seen content + UNSEEN voice: the train utterance
+                          through a resample-0.95 transform that is in NO
+                          training family (families use 1.0/0.88/1.12/
+                          WSOLA±15%) — reference VC-sweep semantics,
+                          I_da/scripts/inference.py:200-222
+      holdout_seen_voice  UNSEEN content + seen voice (the holdout floor)
+
+    If control ≈ holdout floor, voice generalization binds; if control
+    stays near the train row while the holdout floors, the deficit is
+    content (unseen-utterance) generalization. Each row also reports the
+    best score over all K speaker ids (an unseen voice has no 'right' id).
+
+    Plus the VC sweep proper: the same content rendered as each of the K
+    pseudo-speakers — per-id voiced-f0 medians and pairwise ESTOI between
+    renders (1.0 everywhere would mean the embedding table is a no-op),
+    the embedding's measured effect size."""
+    from itertools import combinations
+
+    from fractions import Fraction
+    from scipy.signal import resample_poly
+
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.infer.ida_inpaint import IdaInpainter
+    from speech_inpainting_tpu.metrics.pesq import pesq
+    from speech_inpainting_tpu.metrics.stoi import stoi
+    from speech_inpainting_tpu.ops.f0 import extract_f0
+
+    units_d = _load(out / "unit_centroids.pkl")
+    hp = _load(out / "ea_params.pkl")
+    cg_params = _load(out / "da_g.pkl")
+    fovq = _load(out / "f0vq.pkl")
+    n_spk = _da_n_spk(out)
+    assert n_spk > 0, "vc_sweep needs a multispeaker stack (da_meta n_spk>0)"
+    inp = IdaInpainter(small_codegen(fo_vqvae_cfg(), n_spk=n_spk), cg_params,
+                       {"fo_vqvae": fovq["vq"]}, small_hubert(),
+                       hp["hubert"], units_d["centroids"],
+                       tap_layer=units_d["tap"])
+
+    def render(w, k):
+        """Full resynthesis of w conditioned on speaker id k: (gt, gen)."""
+        o = inp(np.asarray(w, np.float32), mask_size=0, spkr=int(k))
+        return o["audio_gt"], o["audio_gen"]
+
+    def f0_median(w):
+        f0 = np.asarray(extract_f0(jnp.asarray(np.asarray(w, np.float32))))
+        v = f0[f0 > 0]
+        return float(np.median(v)) if v.size else 0.0
+
+    def row(w):
+        per = {}
+        for k in range(n_spk):
+            gt, gen = render(w, k)
+            n = min(len(gt), len(gen))
+            per[k] = {"pesq": float(pesq(gt[:n], gen[:n], 16000)),
+                      "estoi": float(stoi(gt[:n], gen[:n], 16000,
+                                          extended=True))}
+        ident = per[0]
+        return {"spkr0": ident,
+                "best_over_ids": {
+                    "estoi": max(p["estoi"] for p in per.values()),
+                    "pesq": max(p["pesq"] for p in per.values()),
+                    "argmax_estoi": int(max(per, key=lambda k:
+                                            per[k]["estoi"]))},
+                "per_spkr": per}
+
+    names = sorted(wavs16)
+    train_name = next(n for n in names if n != holdout)
+    results = {"n_spk": n_spk, "holdout": holdout,
+               "control_transform": f"resample x{control_rate} "
+               "(pitch+formant shift at changed duration; in no training "
+               "family)"}
+
+    fr = Fraction(control_rate).limit_denominator(50)
+    control_wav = resample_poly(np.asarray(wavs16[train_name], np.float32),
+                                fr.denominator, fr.numerator
+                                ).astype(np.float32)
+    results["rows"] = {
+        "train_seen_voice": {"utterance": train_name,
+                             **row(wavs16[train_name])}}
+    results["rows"]["control_unseen_voice"] = {
+        "utterance": f"{train_name} x{control_rate}", **row(control_wav)}
+    if holdout is not None:
+        results["rows"]["holdout_seen_voice"] = {
+            "utterance": holdout, **row(wavs16[holdout])}
+
+    # VC sweep proper: one content, K voices — embedding effect size
+    sweep_wav = np.asarray(wavs16[holdout if holdout else train_name],
+                           np.float32)
+    renders = {}
+    for k in range(n_spk):
+        _, renders[k] = render(sweep_wav, k)
+    f0s = {k: f0_median(g) for k, g in renders.items()}
+    pair_estoi = {}
+    for a, b in combinations(range(n_spk), 2):
+        n = min(len(renders[a]), len(renders[b]))
+        pair_estoi[f"{a}-{b}"] = float(stoi(renders[a][:n], renders[b][:n],
+                                            16000, extended=True))
+    results["vc_sweep"] = {
+        "utterance": holdout if holdout else train_name,
+        "f0_median_by_spkr_hz": f0s,
+        "f0_median_spread_hz": (max(f0s.values()) - min(f0s.values())
+                                if f0s else 0.0),
+        "pairwise_estoi_between_renders": pair_estoi,
+        "mean_pairwise_estoi": float(np.mean(list(pair_estoi.values()))),
+        "note": ("mean_pairwise_estoi == 1.0 would mean the speaker "
+                 "embedding is a no-op (identical renders); the f0 spread "
+                 "is the embedding's pitch effect in Hz")}
+    with open(out / "eval_vc_sweep.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "rows"},
+                     indent=2))
+    for rname, r in results["rows"].items():
+        print(f"  {rname}: spkr0 {r['spkr0']} best {r['best_over_ids']}")
 
 
 def stage_baseline(out, wavs16):
@@ -996,6 +1213,9 @@ def stage_report(out, args, dest=None):
         # train state carries the cumulative schedule actually trained
         if (out / pkl).exists():
             return int(_load(out / pkl).step)
+        lineage = out / pkl.replace("state.pkl", "lineage.pkl")
+        if lineage.exists():
+            return int(_load(lineage)["step"])
         return fallback
 
     report = {
@@ -1049,10 +1269,19 @@ def stage_report(out, args, dest=None):
         gate["verdict"] = {
             k: {"istft": _avg(ea["mean"], k), "v1": _avg(v1["mean"], k)}
             for k in keys}
+        # direction-aware win count over ALL recorded metrics (r4 weak #5:
+        # tallying only the up-metrics was a biased gate by construction)
         up = [k for k in ("pesq", "estoi", "stoi") if k in keys]
-        wins = sum(gate["verdict"][k]["istft"] >= gate["verdict"][k]["v1"]
-                   for k in up)
-        gate["istft_wins_quality_gate"] = bool(up and wins * 2 >= len(up))
+        down = [k for k in ("lsd_d2", "uer") if k in keys]
+        wins = (sum(gate["verdict"][k]["istft"] >= gate["verdict"][k]["v1"]
+                    for k in up) +
+                sum(gate["verdict"][k]["istft"] <= gate["verdict"][k]["v1"]
+                    for k in down))
+        total = len(up) + len(down)
+        gate["wins"] = {"istft": wins, "of": total,
+                        "direction": {**{k: "higher_better" for k in up},
+                                      **{k: "lower_better" for k in down}}}
+        gate["istft_wins_quality_gate"] = bool(total and wins * 2 >= total)
         report["vocoder_gate"] = gate
     if (out / "eval_ea_holdout.json").exists():
         hold = json.load(open(out / "eval_ea_holdout.json"))
@@ -1089,6 +1318,21 @@ def stage_report(out, args, dest=None):
                      "uer_mask is the discriminative intelligibility "
                      "column here (full-sequence uer stays saturated by "
                      "design)")}
+    if (out / "eval_vc_sweep.json").exists():
+        # quantified holdout analysis (r4 verdict #3): speaker-embedding
+        # effect sizes + the seen-content/unseen-voice control row that
+        # separates voice-generalization failure from content failure
+        report["I_da_holdout_analysis"] = json.load(
+            open(out / "eval_vc_sweep.json"))
+    if "MULTISPEAKER" in da.get("protocol", ""):
+        report["I_da"]["multispeaker_cost"] = (
+            "capacity cost of the K-voice regime on the train row (r4 weak "
+            "#2): the r3 SINGLE-speaker decoder at 6k steps reached train "
+            "ESTOI 0.69-0.71 / PESQ 2.60-2.67 (EVAL_r03.json); the "
+            "multispeaker decoder splits the same capacity across K voice "
+            "families, so its train row must be compared against these "
+            "single-speaker numbers when judging depth, not just against "
+            "earlier multispeaker rounds")
     if baseline is not None:
         report["asr_tts_baseline"] = {
             "protocol": baseline["protocol"], "mean": baseline["mean"],
@@ -1110,7 +1354,8 @@ def stage_report(out, args, dest=None):
         "above; ESTOI and unit_acc complement it.")
     if "rtf_note" in da:
         report["rtf_note"] = da["rtf_note"]
-    path = dest or Path(__file__).resolve().parents[1] / "EVAL_r04.json"
+    path = dest or Path(getattr(args, "report_dest", None) or
+                        Path(__file__).resolve().parents[1] / "EVAL_r05.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")
@@ -1125,7 +1370,7 @@ def _drop(wavs, holdout):
 
 
 STAGES = ["kmeans", "hifigan", "ea", "eval_ea", "feats", "f0vq", "da",
-          "eval_da", "baseline", "report"]
+          "eval_da", "vc_sweep", "baseline", "report"]
 
 
 def main():
@@ -1156,6 +1401,9 @@ def main():
     p.add_argument("--disc-f32", action="store_true",
                    help="train GAN discriminators in f32 (default bf16 "
                         "compute)")
+    p.add_argument("--report-dest", default=None, metavar="PATH",
+                   help="where the report stage writes the round summary "
+                        "(default <repo>/EVAL_r05.json)")
     p.add_argument("--train-chunk", type=int, default=100,
                    help="steps per scanned training dispatch "
                         "(_chunked_train)")
@@ -1202,9 +1450,11 @@ def main():
         elif s == "da":
             stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps,
                      extend=args.extend, pseudo=args.pseudo_speakers,
-                     chunk=args.train_chunk)
+                     chunk=args.train_chunk, disc_bf16=not args.disc_f32)
         elif s == "eval_da":
             stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
+        elif s == "vc_sweep":
+            stage_vc_sweep(out, wavs16, holdout=args.da_holdout)
         elif s == "baseline":
             stage_baseline(out, wavs16)
         elif s == "report":

@@ -68,10 +68,30 @@ def unit_error_rate(ref_units: Sequence[int], hyp_units: Sequence[int],
     return levenshtein(r, h) / float(r.size)
 
 
+def masked_unit_edits(ref_units: Sequence[int], hyp_units: Sequence[int],
+                      span: tuple, *, margin: int = 2,
+                      collapse: bool = True) -> tuple:
+    """Raw (edit count, collapsed ref length) over the ``span`` window
+    (start, end) — frame indices, end exclusive — plus ``margin`` context
+    frames on each side. The un-normalized form of masked UER: at short
+    spans the collapsed reference can be 1-3 units, so the RATE is
+    tiny-denominator noise (r4 verdict: 40 ms spans scoring 1.44) while the
+    edit COUNT stays well-behaved."""
+    s, e = span
+    lo = max(int(s) - margin, 0)
+    hi = int(e) + margin
+    r = np.asarray(ref_units)[lo:hi]
+    h = np.asarray(hyp_units)[lo:hi]
+    if collapse:
+        r, h = collapse_runs(r), collapse_runs(h)
+    return int(levenshtein(r, h)), int(r.size)
+
+
 def masked_unit_error_rate(ref_units: Sequence[int],
                            hyp_units: Sequence[int],
                            span: tuple, *, margin: int = 2,
-                           collapse: bool = True) -> float:
+                           collapse: bool = True,
+                           den_floor: int = 0) -> float:
     """UER restricted to the unit frames inside ``span`` (start, end)
     — frame indices, end exclusive — plus ``margin`` context frames.
 
@@ -84,12 +104,19 @@ def masked_unit_error_rate(ref_units: Sequence[int],
     the content the inpainter actually generated. Both unit sequences must
     share the frame grid (both waveforms are time-aligned renders of the
     same utterance; HuBERT and the hop-441 mel system are both 50 fps).
+
+    ``den_floor`` floors the denominator (the collapsed reference length):
+    at 40-80 ms spans the window collapses to 1-3 units, which turned the
+    rate into tiny-denominator noise (>1.0, non-monotone — r4 verdict
+    weak #3/#8). Units last ~2 frames on speech, so UnitScorer passes
+    (window frames)/2 as the floor, bounding short-span rates without
+    touching long spans (where collapsed length already exceeds the floor).
     """
-    s, e = span
-    lo = max(int(s) - margin, 0)
-    hi = int(e) + margin
-    return unit_error_rate(np.asarray(ref_units)[lo:hi],
-                           np.asarray(hyp_units)[lo:hi], collapse=collapse)
+    edits, ref_len = masked_unit_edits(ref_units, hyp_units, span,
+                                       margin=margin, collapse=collapse)
+    if ref_len == 0 and edits == 0 and den_floor == 0:
+        return 0.0
+    return edits / float(max(ref_len, den_floor, 1))
 
 
 class UnitScorer:
@@ -124,8 +151,25 @@ class UnitScorer:
                    margin: int = 2, est_sr: int | None = None) -> float:
         """masked_unit_error_rate over the span given in SECONDS
         (``frame_rate`` converts to unit frames; 50 fps for both the
-        HuBERT-unit and hop-441 mel-centroid systems)."""
+        HuBERT-unit and hop-441 mel-centroid systems). The denominator is
+        floored at half the window length in frames (~one unit per 2
+        frames on speech) so 40-80 ms spans don't report tiny-denominator
+        noise (r4 verdict #8); pair with masked_uer_edits for the raw
+        counts."""
         s, e = span_sec
+        fspan = (round(s * frame_rate), round(e * frame_rate))
+        floor = max((fspan[1] - fspan[0] + 2 * margin) // 2, 1)
         return masked_unit_error_rate(
+            self.units(ref, sr), self.units(est, est_sr or sr),
+            fspan, margin=margin, den_floor=floor)
+
+    def masked_uer_edits(self, ref: np.ndarray, est: np.ndarray, sr: int,
+                         span_sec: tuple, *, frame_rate: float = 50.0,
+                         margin: int = 2,
+                         est_sr: int | None = None) -> tuple:
+        """Raw (edits, collapsed ref units) over the seconds span — the
+        variance-free companion column to masked_uer."""
+        s, e = span_sec
+        return masked_unit_edits(
             self.units(ref, sr), self.units(est, est_sr or sr),
             (round(s * frame_rate), round(e * frame_rate)), margin=margin)

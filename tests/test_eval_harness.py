@@ -151,6 +151,133 @@ def test_report_vocoder_gate_table(ev, tmp_path):
     assert gate["istft_wins_quality_gate"] is True
 
 
+@pytest.fixture(scope="module")
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_latest_vocoder_gate_newest_round_wins(bench_mod, tmp_path):
+    """bench.py's flagship promotion must follow the NEWEST round's gate
+    (r4 weak #5: a hardcoded EVAL_r04.json silently goes stale)."""
+    (tmp_path / "EVAL_r04.json").write_text(json.dumps(
+        {"vocoder_gate": {"istft_wins_quality_gate": True, "round": 4}}))
+    (tmp_path / "EVAL_r05.json").write_text(json.dumps(
+        {"vocoder_gate": {"istft_wins_quality_gate": False, "round": 5}}))
+    gate, src = bench_mod.latest_vocoder_gate(tmp_path)
+    assert src == "EVAL_r05.json" and gate["round"] == 5
+    assert gate["istft_wins_quality_gate"] is False
+    # a newer round WITHOUT a gate falls back to the newest that has one
+    (tmp_path / "EVAL_r06.json").write_text(json.dumps({"no_gate": 1}))
+    gate, src = bench_mod.latest_vocoder_gate(tmp_path)
+    assert src == "EVAL_r05.json"
+    # double-digit rounds sort numerically, not lexically
+    (tmp_path / "EVAL_r10.json").write_text(json.dumps(
+        {"vocoder_gate": {"round": 10}}))
+    gate, src = bench_mod.latest_vocoder_gate(tmp_path)
+    assert src == "EVAL_r10.json"
+    # empty dir: no gate, no crash
+    sub = tmp_path / "empty"
+    sub.mkdir()
+    gate, src = bench_mod.latest_vocoder_gate(sub)
+    assert gate == {} and src is None
+
+
+def _sweep5(ms_values, pesq, estoi, stoi, lsd, uer):
+    return {str(ms): {"pesq": pesq, "estoi": estoi, "stoi": stoi,
+                      "lsd_d2": lsd, "uer": uer} for ms in ms_values}
+
+
+def test_report_gate_counts_lower_better_metrics(ev, tmp_path):
+    """r4 weak #5: the gate verdict must be direction-aware over ALL five
+    metrics. Here istft wins pesq + the two lower-better metrics but loses
+    estoi/stoi — 3/5 wins promotes, where the old up-only tally (1/3)
+    would have demoted."""
+    ea = {"protocol": "istft",
+          "mean": _sweep5((20, 400), 2.5, 0.5, 0.6, 5.0, 0.3)}
+    v1 = {"protocol": "v1",
+          "mean": _sweep5((20, 400), 2.1, 0.7, 0.8, 6.0, 0.4)}
+    da = {"protocol": "I_da", "mean": _sweep((100, 400), 2.0)}
+    for name, obj in [("eval_ea.json", ea), ("eval_ea_v1.json", v1),
+                      ("eval_da.json", da)]:
+        (tmp_path / name).write_text(json.dumps(obj))
+    args = types.SimpleNamespace(hifigan_steps=1, ea_steps=1, f0vq_steps=1,
+                                 da_steps=1)
+    dest = tmp_path / "report.json"
+    ev.stage_report(tmp_path, args, dest=dest)
+    gate = json.loads(dest.read_text())["vocoder_gate"]
+    assert gate["wins"] == {
+        "istft": 3, "of": 5,
+        "direction": {"pesq": "higher_better", "estoi": "higher_better",
+                      "stoi": "higher_better", "lsd_d2": "lower_better",
+                      "uer": "lower_better"}}
+    assert gate["istft_wins_quality_gate"] is True
+    # flip the lower-better metrics: istft now wins only pesq (1/5)
+    v1["mean"] = _sweep5((20, 400), 2.1, 0.7, 0.8, 4.0, 0.2)
+    (tmp_path / "eval_ea_v1.json").write_text(json.dumps(v1))
+    ev.stage_report(tmp_path, args, dest=dest)
+    gate = json.loads(dest.read_text())["vocoder_gate"]
+    assert gate["wins"]["istft"] == 1
+    assert gate["istft_wins_quality_gate"] is False
+
+
+def test_gan_lineage_save_restore(ev, tmp_path):
+    """The committable-lineage resume (r5 verdict #1): g_params survive
+    exactly, disc params survive at f16 precision, step carries over, and
+    the optimizer moments are fresh (the documented
+    warm-start-with-discriminators semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+
+    k = jax.random.PRNGKey(0)
+    gp = {"w": jax.random.normal(k, (4, 4))}
+    dp = {"w": jax.random.normal(jax.random.PRNGKey(1), (64,))}
+    sp = {"u": jnp.ones((2,))}
+    state = create_gan_state(GANConfig(), gp, {"m": dp}, {"s": dp}, sp)
+    state = state.replace(step=jnp.asarray(12000, jnp.int32))
+    path = tmp_path / "lineage.pkl"
+    ev._save_gan_lineage(path, state)
+    assert path.stat().st_size < 3000          # no optimizer moments inside
+
+    fresh = create_gan_state(GANConfig(), {"w": jnp.zeros((4, 4))},
+                             {"m": {"w": jnp.zeros((64,))}},
+                             {"s": {"w": jnp.zeros((64,))}}, sp)
+    restored = ev._restore_gan_lineage(fresh, path)
+    assert int(restored.step) == 12000
+    np.testing.assert_array_equal(np.asarray(restored.g_params["w"]),
+                                  np.asarray(gp["w"]))   # g exact (f32)
+    got = np.asarray(restored.d_params["mpd"]["m"]["w"])
+    assert got.dtype == np.float32             # restored to f32 compute
+    np.testing.assert_allclose(got, np.asarray(dp["w"]), rtol=2e-3,
+                               atol=1e-5)
+    # optimizer state is the FRESH one (moments zeroed), structure intact
+    assert (jax.tree.structure(restored.g_opt)
+            == jax.tree.structure(state.g_opt))
+    for leaf in jax.tree.leaves(restored.g_opt):
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.zeros_like(np.asarray(leaf)))
+
+
+def test_pseudo_speaker_wavs_k_sizes_family_set(ev):
+    """ADVICE r4 #2: --pseudo-speakers K must emit exactly K families with
+    ids 0..K-1 (an id >= K would silently clamp into the last Embedding
+    row and alias voices)."""
+    import numpy as np
+    base = {"u": np.random.default_rng(0)
+            .standard_normal(32000).astype(np.float32)}
+    wavs, spk = ev.pseudo_speaker_wavs(base, k=2)
+    assert set(spk.values()) == {0, 1}
+    assert len(wavs) == 1 * 2 * 3
+    with pytest.raises(AssertionError):
+        ev.pseudo_speaker_wavs(base, k=6)
+    with pytest.raises(AssertionError):
+        ev.pseudo_speaker_wavs(base, k=0)
+
+
 def test_gan_state_pickle_resume_roundtrip(tmp_path):
     """--extend's contract: a GANTrainState survives a device_get + pickle
     round trip with every leaf (params, BOTH optimizer states, step) exactly

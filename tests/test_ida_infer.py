@@ -117,6 +117,34 @@ def test_ida_inpainting_no_retrace_across_masks(rng):
     assert inp._graph._cache_size() == n
 
 
+def test_ida_masked_uer_scored_vs_gen_render(rng):
+    """r4 verdict #2 pin for the I_da eval scoring choice: masked-span UER
+    of audio_inpainted must be scored against audio_gen (the clean-units
+    render, the reference's _gen.wav — I_da/scripts/inpainting.py:261-266),
+    NOT the clean gt — whole-waveform resynthesis drift then cancels. An
+    identity splice (mask_size=0 → all-clean codes, audio_inpainted ==
+    audio_gen exactly) must score 0; an in-span corruption must move it."""
+    from speech_inpainting_tpu.metrics.units import UnitScorer
+    inp = make_inpainter(rng)
+    sr = 16000
+    t = np.arange(int(sr * 3.2)) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 160 * t)
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    enc = jax.jit(inp._units)
+    scorer = UnitScorer(
+        lambda w: np.asarray(enc(inp._h_params, jnp.asarray(w))), rate=sr)
+    out = inp(audio, mask_size=0, emb=np.zeros(16, np.float32))
+    np.testing.assert_array_equal(out["audio_inpainted"], out["audio_gen"])
+    span = (1.5, 1.7)
+    assert scorer.masked_uer(out["audio_gen"], out["audio_inpainted"],
+                             sr, span) == 0.0
+    # corrupting the splice's span content must register
+    est = out["audio_inpainted"].copy()
+    s, e = int(sr * span[0]), int(sr * span[1])
+    est[s:e] = (rng.standard_normal(e - s) * 0.3).astype(np.float32)
+    assert scorer.masked_uer(out["audio_gen"], est, sr, span) > 0.0
+
+
 def test_unit_resynth_tts_baseline_end_to_end(rng):
     """The ASR→TTS baseline runs END-TO-END with the in-house TTS leg
     (VERDICT r2 #7): donor recording → unit resynthesis → VAD/DTW/WSOLA/

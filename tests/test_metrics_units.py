@@ -9,6 +9,7 @@ import pytest
 
 from speech_inpainting_tpu.metrics.units import (UnitScorer, collapse_runs,
                                                  levenshtein,
+                                                 masked_unit_edits,
                                                  masked_unit_error_rate,
                                                  unit_error_rate)
 
@@ -92,6 +93,56 @@ def test_masked_uer_discriminative_under_resynthesis_noise(rng):
     corrupted = masked_unit_error_rate(units, in_span_only, span)
     drifted = masked_unit_error_rate(units, units.copy(), span, margin=0)
     assert corrupted > 0.5 > drifted == 0.0
+
+
+def test_masked_uer_den_floor_and_raw_edits():
+    """r4 verdict #8: at short spans the collapsed reference window is 1-3
+    units and the un-floored rate explodes past 1.0; the den_floor bounds
+    it while masked_unit_edits reports the variance-free raw counts."""
+    ref = np.full(100, 5)                    # one long run: window
+    hyp = ref.copy()                         # collapses to ONE ref unit
+    hyp[50:52] = [1, 2]                      # in-span corruption
+    span = (50, 52)                          # 2 frames + 2 margin = 6
+    edits, ref_len = masked_unit_edits(ref, hyp, span)
+    assert ref_len == 1                      # tiny denominator...
+    assert edits >= 2
+    raw = masked_unit_error_rate(ref, hyp, span)
+    assert raw > 1.0                         # ...the r4 pathology
+    floored = masked_unit_error_rate(ref, hyp, span, den_floor=3)
+    assert floored == pytest.approx(edits / 3)
+    assert floored <= raw
+    # the floor never touches long spans whose collapsed length exceeds it
+    long_ref = np.arange(100)
+    long_hyp = long_ref.copy()
+    long_hyp[40:60] = 0
+    a = masked_unit_error_rate(long_ref, long_hyp, (40, 60))
+    b = masked_unit_error_rate(long_ref, long_hyp, (40, 60), den_floor=3)
+    assert a == b
+    # identical streams score 0 with or without a floor
+    assert masked_unit_error_rate(ref, ref.copy(), span, den_floor=3) == 0.0
+
+
+def test_unit_scorer_short_span_rate_bounded():
+    """The scorer's automatic floor (window/2) keeps a fully-corrupted
+    40 ms span from reporting >>1 'error rates' (r4 weak #3: 1.44 at
+    40 ms, non-monotone)."""
+    def encode(w16):                       # 20 ms frame-mean sign units
+        n = (len(w16) // 320) * 320
+        return (w16[:n].reshape(-1, 320).mean(1) > 0).astype(np.int32)
+
+    sc = UnitScorer(encode)
+    t = np.arange(32000) / 16000.0
+    ref = np.sin(2 * np.pi * 5 * t).astype(np.float32)
+    est = ref.copy()
+    est[16000:16320] = 0.5                 # corrupt 40 ms at 1.0 s with
+    est[16320:16640] = -0.5                # content that survives collapse
+    r = sc.masked_uer(ref, est, 16000, (1.0, 1.04))
+    assert r > 0.0
+    edits, n_ref = sc.masked_uer_edits(ref, est, 16000, (1.0, 1.04))
+    # window = 2 frames + 2*2 margin = 6 -> floor 3
+    assert r == pytest.approx(edits / max(n_ref, 3))
+    assert r <= edits            # rate can no longer dwarf the edit count
+    assert sc.masked_uer(ref, ref.copy(), 16000, (1.0, 1.04)) == 0.0
 
 
 def test_unit_scorer_masked_uer_span_seconds():
