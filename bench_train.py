@@ -158,6 +158,104 @@ def bench_gan(dtype, iters: int = 5, *, batched_disc: bool = False,
     return out
 
 
+def bench_scan(family: str = "istft", chunk: int = 100, windows=(2, 6)):
+    """The chunked-scan training dispatch the eval chain actually ships
+    (examples/eval_e2e.py:_chunked_train — K GAN steps inside ONE jitted
+    lax.scan, amortizing the tunnel's per-dispatch floor K-fold): measured
+    at the chain's own proxy width (192) and recipe (modified decoder
+    fine-tune, segment 44288, batch 4, bf16 discs), by timing two window
+    sizes of whole chunks and differencing (VERDICT r4 #6: BENCH_TRAIN must
+    measure what ships). The V1 family is capped at chunk 25 — the libtpu
+    scan-fault guard (CLAUDE.md gotchas, commit e9ed692)."""
+    import importlib.util
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    from speech_inpainting_tpu.models.hifigan import (
+        Generator, MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from speech_inpainting_tpu.models.hifigan_istft import ISTFTGenerator
+    from speech_inpainting_tpu.train.gan import GANConfig, create_gan_state
+    from speech_inpainting_tpu.train.hifigan import (HiFiGANTrainConfig,
+                                                     make_modified_step)
+    from speech_inpainting_tpu.utils.timing import force
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_e2e", Path(__file__).resolve().parent / "examples/eval_e2e.py")
+    ev = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ev)
+    if family == "v1":
+        chunk = min(chunk, 25)          # libtpu scan-fault cap
+    rng = np.random.default_rng(0)
+    centroids = rng.standard_normal((100, 80)).astype(np.float32)
+    gen = (ISTFTGenerator(ev.small_istft_22k()) if family == "istft"
+           else Generator(ev.small_hifigan_22k()))
+    seg, B, mask_len = 44288, 4, 20
+    tcfg = HiFiGANTrainConfig(
+        gan=GANConfig(steps_per_epoch=1000, batched_disc=True,
+                      disc_bf16=True),
+        hifigan=ev.small_hifigan_22k(), segment_size=seg, mask_len=mask_len)
+    gp = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)))["params"]
+    zy = jnp.zeros((1, 1, seg))
+    mpd, msd = MultiPeriodDiscriminator(), MultiScaleDiscriminator()
+    dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
+    sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
+    state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
+    step = make_modified_step(tcfg, centroids, generator=gen)
+    n441 = tcfg.mel_441.num_frames(seg)
+    catd = jnp.asarray(rng.standard_normal(seg * 40).astype(np.float32) * .2)
+
+    def step_ix(s, b, catd):
+        audio = jax.vmap(lambda st: jax.lax.dynamic_slice(
+            catd, (st,), (seg,)))(b["starts"])[:, None, :]
+        return step(s, {"audio": audio, "mask_start": b["mask_start"]})
+
+    @jax.jit
+    def multi(s, bs, cs):
+        s, ms = jax.lax.scan(lambda s, b: step_ix(s, b, cs), s, bs)
+        return s, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    def batches(k):
+        return {"starts": jnp.asarray(rng.integers(
+                    0, seg * 39, (k, B)).astype(np.int32)),
+                "mask_start": jnp.asarray(rng.integers(
+                    0, n441 - mask_len, (k, B)).astype(np.int32))}
+
+    bs = batches(chunk)
+    t0 = time.perf_counter()
+    state, m = multi(state, bs, catd)
+    force(m)
+    compile_s = time.perf_counter() - t0
+
+    def window(n_chunks):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n_chunks):
+            state, m = multi(state, bs, catd)
+        force(m)
+        return time.perf_counter() - t0
+
+    t_small = window(windows[0])
+    t_big = window(windows[1])
+    per_chunk = (t_big - t_small) / (windows[1] - windows[0])
+    differenced = per_chunk > 0 and t_big > t_small * 1.2
+    if not differenced:                       # congestion clamp: fall back
+        per_chunk = t_big / windows[1]
+    sps = chunk / per_chunk
+    out = {
+        "metric": f"chunked_scan_train_dispatch_{family}",
+        "value": round(sps, 2),
+        "unit": f"steps/sec amortized (proxy width 192, modified-decoder "
+                f"recipe, B{B} x seg{seg}, bf16 discs, scan chunk {chunk})",
+        "differenced": differenced,
+        "seconds_per_chunk": round(per_chunk, 3),
+        "compile_seconds": round(compile_s, 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def bench_ea(dtype, iters: int = 5, roofline: bool = False):
     import jax
     import jax.numpy as jnp
@@ -230,7 +328,7 @@ def main():
     ap.add_argument("--cache", action="store_true",
                     help="enable the persistent XLA compilation cache")
     ap.add_argument("--workload", default="all",
-                    choices=["gan", "istft", "ea", "all"])
+                    choices=["gan", "istft", "ea", "scan", "scan_v1", "all"])
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul/conv params (reference trains f32)")
     ap.add_argument("--batched-disc", action="store_true",
@@ -259,6 +357,10 @@ def main():
         bench_gan(dtype, batched_disc=args.batched_disc,
                   disc_bf16=args.bf16_disc, roofline=args.roofline,
                   family="istft")
+    if args.workload == "scan":
+        bench_scan("istft")
+    if args.workload == "scan_v1":
+        bench_scan("v1")
     if args.workload in ("ea", "all"):
         bench_ea(dtype, roofline=args.roofline)
 
