@@ -90,6 +90,34 @@ def _restore_gan_lineage(state, path):
                          spectral=d["spectral"])
 
 
+def _best_gan_resume(state, out, pre, label):
+    """--extend resume: restore the DEEPEST saved artifact among the full
+    state (<pre>state.pkl), the committable lineage (<pre>lineage.pkl), and
+    the generator-only warm start (<pre>g.pkl). Newest-step-wins matters
+    because mid-stage checkpointing (added after a tunnel wedge ate 3600
+    v1 steps) can leave the lineage AHEAD of the last end-of-stage full
+    state."""
+    cands = []
+    if (out / f"{pre}state.pkl").exists():
+        s = _load(out / f"{pre}state.pkl")
+        cands.append((int(s.step), "full state", lambda s=s: s))
+    if (out / f"{pre}lineage.pkl").exists():
+        d_step = int(_load(out / f"{pre}lineage.pkl")["step"])
+        cands.append((d_step, "lineage (fresh optimizer moments)",
+                      lambda: _restore_gan_lineage(
+                          state, out / f"{pre}lineage.pkl")))
+    if cands:
+        step, kind, build = max(cands, key=lambda c: c[0])
+        print(f"{label}: extending from {kind} at step {step}")
+        return build()
+    if (out / f"{pre}g.pkl").exists():
+        # generator-only warm start with fresh discriminators — the
+        # reference's --warm-start recipe (train_modified.py:72-93)
+        print(f"{label}: warm-starting generator only (no full state saved)")
+        return state.replace(g_params=_load(out / f"{pre}g.pkl"))
+    return state
+
+
 def load_audio():
     from speech_inpainting_tpu.data.audio import load_wav, peak_normalize
     wavs22, wavs16 = {}, {}
@@ -331,19 +359,8 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
     dp = mpd.init(jax.random.PRNGKey(1), zy, zy)["params"]
     sv = msd.init(jax.random.PRNGKey(2), zy, zy, True)
     state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
-    if extend and (out / f"{pre}state.pkl").exists():
-        state = _load(out / f"{pre}state.pkl")
-        print(f"hifigan[{family}]: extending from step {int(state.step)}")
-    elif extend and (out / f"{pre}lineage.pkl").exists():
-        state = _restore_gan_lineage(state, out / f"{pre}lineage.pkl")
-        print(f"hifigan[{family}]: extending from committed lineage at "
-              f"step {int(state.step)} (fresh optimizer moments)")
-    elif extend and (out / f"{pre}g.pkl").exists():
-        # generator-only warm start with fresh discriminators — the
-        # reference's --warm-start recipe (train_modified.py:72-93)
-        state = state.replace(g_params=_load(out / f"{pre}g.pkl"))
-        print(f"hifigan[{family}]: warm-starting generator only "
-              "(no full state saved)")
+    if extend:
+        state = _best_gan_resume(state, out, pre, f"hifigan[{family}]")
     step = jax.jit(make_modified_step(tcfg, centroids, generator=gen))
 
     cat = np.concatenate(list(augment_wavs(wavs22).values()))
@@ -365,9 +382,11 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
                 "mask_start": rng.integers(0, n441 - mask_len,
                                            B).astype(np.int32)}
 
-    state, m = _chunked_train(step_ix, state, batch, steps,
-                              f"hifigan[{family}]", chunk=chunk,
-                              consts=catd)
+    state, m = _chunked_train(
+        step_ix, state, batch, steps, f"hifigan[{family}]", chunk=chunk,
+        consts=catd,
+        checkpoint_fn=lambda s: _save_gan_lineage(
+            out / f"{pre}lineage.pkl", s))
     print(f"hifigan[{family}]: mel_error {float(m['mel_error']):.3f} "
           f"after {steps} steps (total {int(state.step)})")
     _save(out / f"{pre}g.pkl", state.g_params)
@@ -557,7 +576,8 @@ def _da_training_wavs(wavs16, pseudo):
 
 
 def _chunked_train(step, state, batch_np, steps, label, chunk=100,
-                   log_every=400, consts=None):
+                   log_every=400, consts=None, checkpoint_fn=None,
+                   checkpoint_every=2000):
     """Run ``steps`` optimizer steps as ``chunk``-step jitted lax.scan
     dispatches: ONE tunnel round-trip per chunk instead of per step.
 
@@ -604,6 +624,14 @@ def _chunked_train(step, state, batch_np, steps, label, chunk=100,
             print(f"{label} step {done}: {head} "
                   f"({(time.perf_counter() - t0) / done:.3f}s/step)",
                   flush=True)
+        if (checkpoint_fn is not None and done % checkpoint_every == 0
+                and c != n_chunks - 1):
+            # mid-stage snapshot: a wedged tunnel dispatch (observed: 53 min
+            # dead at v1 step 3600) otherwise loses the whole stage's
+            # progress — end-of-stage is the only other save point
+            force(m)
+            checkpoint_fn(state)
+            print(f"{label} step {done}: checkpointed", flush=True)
     force(m)
     return state, m
 
@@ -821,16 +849,8 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100,
                 f"--extend with --pseudo-speakers {pseudo} but the saved "
                 f"state was trained with n_spk={prior_n} — "
                 "param shapes differ; use a fresh --out")
-    if extend and (out / "da_state.pkl").exists():
-        state = _load(out / "da_state.pkl")
-        print(f"da: extending from step {int(state.step)}")
-    elif extend and (out / "da_lineage.pkl").exists():
-        state = _restore_gan_lineage(state, out / "da_lineage.pkl")
-        print(f"da: extending from committed lineage at step "
-              f"{int(state.step)} (fresh optimizer moments)")
-    elif extend and (out / "da_g.pkl").exists():
-        state = state.replace(g_params=_load(out / "da_g.pkl"))
-        print("da: warm-starting generator only (no full state saved)")
+    if extend:
+        state = _best_gan_resume(state, out, "da_", "da")
     step = jax.jit(make_da_step(da_cfg, vq_tree))
 
     rng = np.random.default_rng(3 + int(state.step))  # fresh crops on extend
@@ -877,8 +897,9 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100,
             out_b["spkr"] = spkr
         return out_b
 
-    state, m = _chunked_train(step_ix, state, batch, steps, "da",
-                              chunk=chunk, consts=catd)
+    state, m = _chunked_train(
+        step_ix, state, batch, steps, "da", chunk=chunk, consts=catd,
+        checkpoint_fn=lambda s: _save_gan_lineage(out / "da_lineage.pkl", s))
     print(f"da final mel_error: {float(m['mel_error']):.3f} "
           f"(total step {int(state.step)})")
     _save(out / "da_g.pkl", state.g_params)

@@ -113,7 +113,7 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
               "lsd_d2": [], "lsd_rmse": [], "wer": [], "cer": [],
               "pesq_vs_exp": [], "stoi_vs_exp": [], "estoi_vs_exp": [],
               "si_sdr_vs_exp": [], "unit_acc": [], "mel_l1_mask": [],
-              "uer": [], "uer_mask": []}
+              "uer": [], "uer_mask": [], "uer_mask_edits": []}
     ref_units = unit_scorer.units(ref, 22050) if unit_scorer else None
     for i in range(n):
         est = inpainted[i]
@@ -149,14 +149,21 @@ def evaluate_inpainting(inpainter, wav22: np.ndarray, wav16: np.ndarray,
             scores["wer"].append(w)
             scores["cer"].append(c)
         if unit_scorer is not None:
-            from ..metrics.units import (masked_unit_error_rate,
+            from ..metrics.units import (masked_unit_edits,
+                                         masked_unit_error_rate,
                                          unit_error_rate)
             est_units = unit_scorer.units(est, 22050)
             scores["uer"].append(unit_error_rate(ref_units, est_units))
-            # mask span on the 50 fps unit grid == the mel frame span
+            # mask span on the 50 fps unit grid == the mel frame span;
+            # denominator floored at half the margin-padded window (r4
+            # verdict #8: un-floored 40 ms spans scored 1.44 with wild
+            # swings off 1-3-unit denominators), raw edits kept alongside
             p, L = int(mask_pos[i]), mask_len_frames
             scores["uer_mask"].append(masked_unit_error_rate(
-                ref_units, est_units, (p, p + L)))
+                ref_units, est_units, (p, p + L),
+                den_floor=max((L + 4) // 2, 1)))
+            scores["uer_mask_edits"].append(float(masked_unit_edits(
+                ref_units, est_units, (p, p + L))[0]))
     return {k: float(np.mean(v)) for k, v in scores.items() if v}
 
 
