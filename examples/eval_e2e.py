@@ -304,7 +304,7 @@ def _family_prefix(family):
 
 
 def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
-                  disc_bf16=True, chunk=100):
+                  disc_bf16=True, chunk=100, to_step=0):
     """Modified decoder fine-tune regime, from scratch: random 44288-sample
     crops, in-graph centroid substitution of a random 20-frame span
     (train_modified.py semantics, segment 44288 / mask_len 20).
@@ -361,6 +361,20 @@ def stage_hifigan(out, wavs22, steps, extend=False, family="istft",
     state = create_gan_state(tcfg.gan, gp, dp, sv["params"], sv["spectral"])
     if extend:
         state = _best_gan_resume(state, out, pre, f"hifigan[{family}]")
+    if to_step:
+        # idempotent crash-retry semantics: train TO an absolute step
+        # (the tunnel's TPU worker can crash mid-stage; rerunning the same
+        # command resumes from the mid-stage lineage checkpoint and trains
+        # only the remainder instead of over/under-shooting)
+        steps = max(0, to_step - int(state.step))
+        if steps == 0:
+            print(f"hifigan[{family}]: already at step {int(state.step)} "
+                  f">= target {to_step}, nothing to train")
+            # a crash can land between the mid-stage lineage checkpoint and
+            # the end-of-stage saves — re-save so g/state match the lineage
+            _save(out / f"{pre}g.pkl", state.g_params)
+            _save(out / f"{pre}state.pkl", state)
+            return
     step = jax.jit(make_modified_step(tcfg, centroids, generator=gen))
 
     cat = np.concatenate(list(augment_wavs(wavs22).values()))
@@ -769,7 +783,7 @@ def stage_f0vq(out, wavs16, steps, pseudo=0):
 
 
 def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100,
-             disc_bf16=True):
+             disc_bf16=True, to_step=0):
     """Unit-HiFi-GAN decoder training (scripts/train.py decoder-only regime):
     trained content units + frozen f0-VQVAE pitch units -> waveform.
 
@@ -851,6 +865,15 @@ def stage_da(out, wavs16, steps, extend=False, pseudo=0, chunk=100,
                 "param shapes differ; use a fresh --out")
     if extend:
         state = _best_gan_resume(state, out, "da_", "da")
+    if to_step:
+        steps = max(0, to_step - int(state.step))   # see stage_hifigan
+        if steps == 0:
+            print(f"da: already at step {int(state.step)} >= target "
+                  f"{to_step}, nothing to train")
+            _save(out / "da_g.pkl", state.g_params)
+            _save(out / "da_state.pkl", state)
+            (out / "da_meta.json").write_text(json.dumps({"n_spk": pseudo}))
+            return
     step = jax.jit(make_da_step(da_cfg, vq_tree))
 
     rng = np.random.default_rng(3 + int(state.step))  # fresh crops on extend
@@ -1323,12 +1346,12 @@ def stage_report(out, args, dest=None):
                      "decoder) trained without the evaluated utterance — "
                      "the reference's actual train/eval separation "
                      "(I_da/scripts/inpainting.py sweeps non-training "
-                     "material). r4: trained MULTISPEAKER over "
-                     "pseudo-speaker transform families (r3 verdict #2); "
-                     "vs r3's flat one-speaker floor (PESQ 1.70, ESTOI "
-                     "0.135-0.159, no trend) the table lifted slightly AND "
-                     "now shows the monotone mask-length trend (ESTOI "
-                     "0.175->0.157, PESQ 1.76->1.74 over 100->400 ms). "
+                     "material). Trained MULTISPEAKER over pseudo-speaker "
+                     "transform families since r4 (r3 verdict #2); the "
+                     "quantified holdout analysis (I_da_holdout_analysis: "
+                     "speaker-embedding effect sizes + the seen-content/"
+                     "unseen-voice control row) separates voice from "
+                     "content generalization. "
                      "The residual absolute level is information-"
                      "theoretic at this scale: one real voice and one "
                      "held-out utterance — I_da resynthesizes the ENTIRE "
@@ -1345,7 +1368,29 @@ def stage_report(out, args, dest=None):
         # separates voice-generalization failure from content failure
         report["I_da_holdout_analysis"] = json.load(
             open(out / "eval_vc_sweep.json"))
-    if "MULTISPEAKER" in da.get("protocol", ""):
+    if (out / "eval_da_multispkr.json").exists():
+        # NUMERIC multispeaker train-row cost (r4 weak #2 / verdict #3):
+        # the multispeaker (dahold-lineage) eval_da run swept WITHOUT
+        # --da-holdout also scores its TRAIN utterance — compare that row
+        # against the main single-speaker I_da table at the same depth.
+        ms_da = json.load(open(out / "eval_da_multispkr.json"))
+        train_names = [n for n in ms_da
+                       if n not in ("mean", "protocol", "rtf_note",
+                                    "holdout") and
+                       n != report.get("I_da_holdout", {}).get("holdout")]
+        if train_names:
+            tn = train_names[0]
+            report["I_da"]["multispeaker_cost"] = {
+                "note": ("capacity cost of the K-voice regime on the train "
+                         "row (r4 weak #2): same train utterance scored "
+                         "under the single-speaker decoder (the I_da.mean "
+                         "table above) vs the K-pseudo-speaker decoder "
+                         "(dahold lineage, identity spkr id)"),
+                "train_utterance": tn,
+                "multispeaker_mean": ms_da[tn],
+                "single_speaker_mean": report["I_da"]["mean"],
+            }
+    elif "MULTISPEAKER" in da.get("protocol", ""):
         report["I_da"]["multispeaker_cost"] = (
             "capacity cost of the K-voice regime on the train row (r4 weak "
             "#2): the r3 SINGLE-speaker decoder at 6k steps reached train "
@@ -1425,6 +1470,19 @@ def main():
     p.add_argument("--report-dest", default=None, metavar="PATH",
                    help="where the report stage writes the round summary "
                         "(default <repo>/EVAL_r05.json)")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip the kmeans/ea/feats/f0vq stages whose output "
+                        "artifact already exists in --out (idempotent "
+                        "crash-retry: rerunning the same command after a "
+                        "TPU-worker crash redoes only unfinished work)")
+    p.add_argument("--hifigan-to-step", type=int, default=0, metavar="N",
+                   help="with --extend: train the vocoder TO absolute step "
+                        "N (idempotent crash-retry; overrides "
+                        "--hifigan-steps)")
+    p.add_argument("--da-to-step", type=int, default=0, metavar="N",
+                   help="with --extend: train the I_da decoder TO absolute "
+                        "step N (idempotent crash-retry; overrides "
+                        "--da-steps)")
     p.add_argument("--train-chunk", type=int, default=100,
                    help="steps per scanned training dispatch "
                         "(_chunked_train)")
@@ -1444,7 +1502,14 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     stages = STAGES if args.stage == "all" else args.stage.split(",")
     wavs22, wavs16 = load_audio()
+    done_marker = {"kmeans": "centroids.pkl", "ea": "ea_params.pkl",
+                   "feats": "unit_centroids.pkl", "f0vq": "f0vq.pkl"}
     for s in stages:
+        if (args.skip_existing and s in done_marker
+                and (out / done_marker[s]).exists()):
+            print(f"=== stage {s} skipped ({done_marker[s]} exists) ===",
+                  flush=True)
+            continue
         print(f"=== stage {s} ===", flush=True)
         t0 = time.perf_counter()
         if s == "kmeans":
@@ -1454,7 +1519,8 @@ def main():
                 stage_hifigan(out, wavs22, args.hifigan_steps,
                               extend=args.extend, family=fam,
                               disc_bf16=not args.disc_f32,
-                              chunk=args.train_chunk)
+                              chunk=args.train_chunk,
+                              to_step=args.hifigan_to_step)
         elif s == "ea":
             stage_ea(out, wavs22, wavs16, args.ea_steps,
                      holdout=args.ea_holdout)
@@ -1471,7 +1537,8 @@ def main():
         elif s == "da":
             stage_da(out, _drop(wavs16, args.da_holdout), args.da_steps,
                      extend=args.extend, pseudo=args.pseudo_speakers,
-                     chunk=args.train_chunk, disc_bf16=not args.disc_f32)
+                     chunk=args.train_chunk, disc_bf16=not args.disc_f32,
+                     to_step=args.da_to_step)
         elif s == "eval_da":
             stage_eval_da(out, wavs22, wavs16, holdout=args.da_holdout)
         elif s == "vc_sweep":
